@@ -1,0 +1,631 @@
+"""Streaming HTML rewriter VM: sanitizer pass + user handlers + serializer.
+
+This is the Python re-expression of the reference's rewrite orchestration
+(reference: ext/selma/src/rewriter.rs) — one linear pass over the token
+stream with the sanitizer applied first per element (rewriter.rs:284-294,
+"have sanitization happen first" rewriter.rs:366-367), user handlers in
+list order per token (pinned by
+test/selma_rewriter_match_element_test.rb:63-76), and a second full parse
+removing disallowed escapeworthy tags (rewriter.rs:323-354).
+
+Stack discipline (observable in the reference's own goldens):
+
+* the *matching* stack pops implicitly when an outer end tag closes inner
+  elements; implicitly-closed elements never fire end-tag handlers, and
+  end tags with no matching open element pass through verbatim (pinned by
+  the STRINGS[:malformed] goldens in test/test_helper.rb:47-53, where
+  ``</b>`` and ``</strong>`` survive sanitization);
+* the *ancestors* stack mirrors Selma's Ruby-side stack
+  (rewriter.rs:411-431): push every non-void element, pop the TOP entry
+  whenever some element's own end tag fires — deliberately bug-compatible
+  on misnested input.
+
+Untouched tokens are emitted as their original source slices; only
+mutated start tags are re-serialized (double-quoted attribute values,
+``"`` escaped as ``&quot;``), matching the reference's observable
+serializer (e.g. test/selma_sanitizer_test.rb:23-41 normalizes quotes
+only on sanitized attributes and test/selma_rewriter_match_attribute_test.rb:19-23
+keeps untouched elements byte-identical).
+"""
+
+from __future__ import annotations
+
+from . import tokenizer as tk
+from .sanitizer import (
+    DEFAULT,
+    Sanitizer,
+    escape_href,
+    escape_html,
+    unescape_html,
+)
+from .selector import Selector
+from .tags import ESCAPEWORTHY_TAGS, VOID_TAGS, tag_index
+
+_MISSING = object()
+
+
+class RewriteError(RuntimeError):
+    pass
+
+
+class MemoryLimitError(RewriteError):
+    pass
+
+
+def _escape_text(content: str) -> str:
+    # lol-html ContentType::Text escaping: & < > only
+    return (
+        content.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _content(content, content_type):
+    if content_type == "text":
+        return _escape_text(content)
+    if content_type == "html":
+        return content
+    raise RewriteError(f"unknown content type {content_type!r}")
+
+
+class _Node:
+    """Open-element state shared by the VM and the Element facade."""
+
+    __slots__ = (
+        "orig_name", "raw_name", "tag_name", "renamed", "attrs",
+        "attr_locs", "explicit_self_closing", "void", "raw",
+        "modified", "removed_mode", "suppressing",
+        "before_parts", "prepend_parts", "append_parts", "after_parts",
+        "inner_content", "text_active", "end_tag_handlers", "end_removed",
+    )
+
+    def __init__(self, tok: tk.Token):
+        self.orig_name = tok.name
+        self.raw_name = tok.raw[1 : 1 + len(tok.name)]
+        self.tag_name = tok.name
+        self.renamed = False
+        # attrs: list of [name_lower, value, has_value]
+        self.attrs = [[a.name, a.value, a.has_value] for a in tok.attrs]
+        self.attr_locs = {
+            a.name: (a.name_span, a.value_span, a.has_value) for a in tok.attrs
+        }
+        self.explicit_self_closing = tok.self_closing
+        self.void = tok.name in VOID_TAGS
+        self.raw = tok.raw
+        self.modified = False
+        self.removed_mode = None  # None | "content" | "unwrap"
+        self.suppressing = False
+        self.before_parts = None
+        self.prepend_parts = None
+        self.append_parts = None
+        self.after_parts = None
+        self.inner_content = None
+        self.text_active = None  # set[int] of handler indices
+        self.end_tag_handlers = None
+        self.end_removed = False
+
+    # node protocol for the selector matcher
+    def get_attr(self, name):
+        for a in self.attrs:
+            if a[0] == name:
+                return a[1]
+        return None
+
+    @property
+    def removed(self):
+        return self.removed_mode is not None
+
+    def add_part(self, slot, content):
+        cur = getattr(self, slot)
+        if cur is None:
+            cur = []
+            setattr(self, slot, cur)
+        cur.append(content)
+
+    def serialize_start(self) -> str:
+        if not self.modified and not self.renamed:
+            return self.raw
+        parts = ["<", self.tag_name if self.renamed else self.raw_name]
+        for name, value, has_value in self.attrs:
+            if has_value:
+                parts.append(f' {name}="{value.replace(chr(34), "&quot;")}"')
+            else:
+                parts.append(f" {name}")
+        parts.append(" />" if self.explicit_self_closing else ">")
+        return "".join(parts)
+
+
+class Element:
+    """Element facade handed to ``handle_element``
+    (reference API: ext/selma/src/html/element.rs)."""
+
+    __slots__ = ("_node", "_ancestors")
+
+    def __init__(self, node: _Node, ancestors: list[str]):
+        self._node = node
+        self._ancestors = ancestors
+
+    @property
+    def tag_name(self):
+        return self._node.tag_name
+
+    @tag_name.setter
+    def tag_name(self, name: str):
+        node = self._node
+        node.tag_name = name.lower()
+        node.renamed = True
+
+    def set_tag_name(self, name: str):
+        self.tag_name = name
+
+    @property
+    def self_closing(self) -> bool:
+        return self._node.explicit_self_closing
+
+    def __getitem__(self, attr):
+        return self._node.get_attr(attr)
+
+    def __setitem__(self, attr, value):
+        node = self._node
+        for a in node.attrs:
+            if a[0] == attr:
+                a[1] = value
+                a[2] = True
+                node.modified = True
+                return
+        node.attrs.append([attr, value, True])
+        node.modified = True
+
+    def set_attribute(self, attr, value):
+        self[attr] = value
+        return value
+
+    def remove_attribute(self, attr):
+        node = self._node
+        for i, a in enumerate(node.attrs):
+            if a[0] == attr:
+                del node.attrs[i]
+                node.modified = True
+                return
+
+    def has_attribute(self, attr) -> bool:
+        return self._node.get_attr(attr) is not None
+
+    @property
+    def attributes(self) -> dict:
+        return {a[0]: a[1] for a in self._node.attrs}
+
+    def attribute_source_location(self, attr):
+        """Byte ranges of an attribute in the ORIGINAL input; None for
+        missing/added/pure-boolean attrs
+        (reference: element.rs:117-156; nil cases pinned by
+        test/selma_rewriter_attribute_source_location_test.rb:43-115)."""
+        loc = self._node.attr_locs.get(str(attr).lower())
+        if loc is None:
+            return None
+        name_span, value_span, has_value = loc
+        if not has_value:
+            return None
+        return {"name": name_span, "value": value_span}
+
+    @property
+    def ancestors(self) -> list[str]:
+        return list(self._ancestors)
+
+    def before(self, content, as_="html"):
+        self._node.add_part("before_parts", _content(content, as_))
+
+    def after(self, content, as_="html"):
+        self._node.add_part("after_parts", _content(content, as_))
+
+    def prepend(self, content, as_="html"):
+        self._node.add_part("prepend_parts", _content(content, as_))
+
+    def append(self, content, as_="html"):
+        self._node.add_part("append_parts", _content(content, as_))
+
+    def set_inner_content(self, content, as_="html"):
+        self._node.inner_content = _content(content, as_)
+
+    def remove(self):
+        self._node.removed_mode = "content"
+
+    def remove_and_keep_content(self):
+        self._node.removed_mode = "unwrap"
+
+    @property
+    def removed(self) -> bool:
+        return self._node.removed
+
+
+class TextChunk:
+    """Text-chunk facade (reference API:
+    ext/selma/src/html/text_chunk.rs). ``replace`` updates the live
+    content so stacked handlers chain
+    (pinned by test/selma_rewriter_text_test.rb:190-226)."""
+
+    __slots__ = ("content", "text_type", "removed", "before_parts", "after_parts")
+
+    def __init__(self, content: str, text_type: str):
+        self.content = content
+        self.text_type = text_type
+        self.removed = False
+        self.before_parts = []
+        self.after_parts = []
+
+    def to_s(self) -> str:
+        return self.content
+
+    def __str__(self) -> str:
+        return self.content
+
+    def before(self, content, as_="html"):
+        self.before_parts.append(_content(content, as_))
+
+    def after(self, content, as_="html"):
+        self.after_parts.append(_content(content, as_))
+
+    def replace(self, content, as_="html"):
+        if not isinstance(content, str):
+            raise RewriteError("text chunk replacement must be a string")
+        self.content = _content(content, as_)
+        return self.content
+
+    def remove(self):
+        self.removed = True
+        self.content = ""
+
+
+class EndTag:
+    __slots__ = ("tag_name", "_node")
+
+    def __init__(self, tag_name: str, node: _Node):
+        self.tag_name = tag_name
+        self._node = node
+
+    def remove(self):
+        self._node.end_removed = True
+
+
+class _CompiledHandler:
+    __slots__ = ("obj", "selector", "has_element", "has_text", "has_end_tag")
+
+    def __init__(self, obj):
+        sel = getattr(obj, "selector", None)
+        if sel is None:
+            raise AttributeError(
+                f"Could not call #selector on {type(obj).__name__!r}; "
+                "is this an object that defines it?"
+            )
+        selector = sel() if callable(sel) else sel
+        if not isinstance(selector, Selector):
+            raise TypeError(
+                f"Error instantiating selector: expected Selector, got "
+                f"{type(selector).__name__}"
+            )
+        self.obj = obj
+        self.selector = selector
+        self.has_element = hasattr(obj, "handle_element")
+        self.has_text = hasattr(obj, "handle_text_chunk")
+        self.has_end_tag = hasattr(obj, "on_end_tag")
+
+
+class Rewriter:
+    """Pipeline entry point (reference: Selma::Rewriter,
+    ext/selma/src/rewriter.rs:90-235 for construction semantics)."""
+
+    def __init__(self, sanitizer=_MISSING, handlers=None, options=None):
+        if sanitizer is _MISSING:
+            sanitizer = Sanitizer(DEFAULT)
+        elif isinstance(sanitizer, (dict, type(DEFAULT))):
+            sanitizer = Sanitizer(sanitizer)
+        if handlers is None:
+            handlers = []
+        if not isinstance(handlers, (list, tuple)):
+            raise TypeError("handlers must be an array")
+        self.handlers = [_CompiledHandler(h) for h in handlers]
+        self.sanitizer = sanitizer
+        if sanitizer is None and not self.handlers:
+            raise ValueError("Must provide a sanitizer or a handler")
+
+        self.max_allowed_memory_usage = None
+        self.preallocated_parsing_buffer_size = None
+        if options:
+            memory = options.get("memory", {})
+            unknown = set(options) - {"memory"}
+            if unknown:
+                raise ValueError(f"Unknown option: {unknown.pop()!r}")
+            self.max_allowed_memory_usage = memory.get("max_allowed_memory_usage")
+            self.preallocated_parsing_buffer_size = memory.get(
+                "preallocated_parsing_buffer_size"
+            )
+            if self.max_allowed_memory_usage is not None:
+                if self.preallocated_parsing_buffer_size is None:
+                    raise ValueError(
+                        "max_allowed_memory_usage must be greater than "
+                        "preallocated_parsing_buffer_size"
+                    )
+                if (self.preallocated_parsing_buffer_size
+                        > self.max_allowed_memory_usage):
+                    raise ValueError(
+                        "max_allowed_memory_usage must be greater than "
+                        "preallocated_parsing_buffer_size"
+                    )
+
+    def rewrite(self, html: str) -> str:
+        if self.max_allowed_memory_usage is not None:
+            # streaming-core memory budget approximation (reference:
+            # rewriter.rs:156-227 + test/selma_rewriter_test.rb:60-76)
+            if len(html.encode("utf-8", "ignore")) > self.max_allowed_memory_usage:
+                raise MemoryLimitError("The memory limit has been exceeded")
+        out = _run_pass(html, self.sanitizer, self.handlers)
+        if self.sanitizer is not None:
+            out = _run_pass(out, None, [], escape_filter=self.sanitizer)
+        return out
+
+
+def rewrite(html, sanitizer=_MISSING, handlers=None, options=None) -> str:
+    return Rewriter(sanitizer=sanitizer, handlers=handlers, options=options).rewrite(html)
+
+
+def _run_pass(html, sanitizer, handlers, escape_filter=None) -> str:
+    tokens = tk.tokenize(html)
+    out: list[str] = []
+    emit = out.append
+    stack: list[_Node] = []       # matching stack (implicit pops)
+    ruby_stack: list[str] = []    # Selma-style ancestors stack
+    suppress = 0
+    any_text_handlers = any(h.selector.text_selector for h in handlers)
+
+    ntok = len(tokens)
+    ti = 0
+    while ti < ntok:
+        tok = tokens[ti]
+        kind = tok.kind
+
+        if kind == tk.TEXT:
+            # coalesce adjacent text tokens (stray "<" fragments)
+            content = tok.raw
+            text_type = tok.text_type
+            while ti + 1 < ntok and tokens[ti + 1].kind == tk.TEXT:
+                ti += 1
+                content += tokens[ti].raw
+            ti += 1
+            if handlers and any_text_handlers:
+                active: set[int] = set()
+                for node in stack:
+                    if node.text_active:
+                        active |= node.text_active
+                if active:
+                    chunk = TextChunk(content, text_type)
+                    dispatched = False
+                    for h_idx in sorted(active):
+                        h = handlers[h_idx]
+                        ignore = h.selector.ignore_text_within
+                        if ignore and any(
+                            name in ignore for name in ruby_stack
+                        ):
+                            continue
+                        if chunk.content == "":
+                            continue  # empty-chunk suppression (rewriter.rs:531-537)
+                        if not h.has_text:
+                            raise RewriteError(
+                                "handler with match_text_within must define "
+                                "handle_text_chunk"
+                            )
+                        h.obj.handle_text_chunk(chunk)
+                        dispatched = True
+                    if dispatched or chunk.before_parts or chunk.after_parts:
+                        if suppress == 0:
+                            for p in chunk.before_parts:
+                                emit(p)
+                            if not chunk.removed:
+                                emit(chunk.content)
+                            for p in chunk.after_parts:
+                                emit(p)
+                        continue
+            if suppress == 0:
+                emit(content)
+            continue
+
+        ti += 1
+
+        if kind == tk.START_TAG:
+            node = _Node(tok)
+            name = node.orig_name
+
+            if escape_filter is not None:
+                # final-sanitization pass (rewriter.rs:325-354)
+                if (
+                    escape_filter.escape_tagfilter
+                    and name in ESCAPEWORTHY_TAGS
+                    and not escape_filter.allow_element(name)
+                ):
+                    node.removed_mode = "content"
+            elif sanitizer is not None:
+                _sanitize_element(sanitizer, node)
+
+            if handlers:
+                ancestors = None
+                for h_idx, h in enumerate(handlers):
+                    sel = h.selector
+                    esel = sel.element_selector
+                    if esel is not None and esel.matches(node, stack):
+                        if h.has_end_tag and not node.void:
+                            if node.end_tag_handlers is None:
+                                node.end_tag_handlers = []
+                            node.end_tag_handlers.append(h.obj.on_end_tag)
+                        if h.has_element:
+                            if ancestors is None:
+                                ancestors = list(ruby_stack)
+                            try:
+                                h.obj.handle_element(Element(node, ancestors))
+                            except RewriteError:
+                                raise
+                            except Exception as exc:
+                                raise RewriteError(str(exc)) from exc
+                    tsel = sel.text_selector
+                    if tsel is not None and tsel.matches(node, stack):
+                        if node.text_active is None:
+                            node.text_active = set()
+                        node.text_active.add(h_idx)
+
+            no_end_tag = node.void or node.explicit_self_closing
+            emit_ok = suppress == 0
+
+            if emit_ok and node.before_parts:
+                for p in node.before_parts:
+                    emit(p)
+            mode = node.removed_mode
+            if mode is None:
+                if emit_ok:
+                    emit(node.serialize_start())
+                    if node.prepend_parts:
+                        for p in node.prepend_parts:
+                            emit(p)
+                    if node.inner_content is not None and not no_end_tag:
+                        emit(node.inner_content)
+                if node.inner_content is not None and not no_end_tag:
+                    node.suppressing = True
+                    suppress += 1
+            elif mode == "content":
+                if not no_end_tag:
+                    node.suppressing = True
+                    suppress += 1
+            # mode == "unwrap": tag dropped, content flows
+
+            if no_end_tag:
+                if emit_ok and node.after_parts:
+                    for p in node.after_parts:
+                        emit(p)
+            else:
+                stack.append(node)
+
+            if not node.void:
+                ruby_stack.append(node.orig_name)
+            continue
+
+        if kind == tk.END_TAG:
+            name = tok.name
+            # find innermost open element with this (original) name
+            idx = None
+            for k in range(len(stack) - 1, -1, -1):
+                if stack[k].orig_name == name:
+                    idx = k
+                    break
+            if idx is None:
+                if suppress == 0:
+                    emit(tok.raw)  # orphan end tag passes through verbatim
+                continue
+            # implicit closes above the match: no end-tag events fire
+            for node in stack[idx + 1 :]:
+                if node.suppressing:
+                    suppress -= 1
+            closing = stack[idx]
+            del stack[idx:]
+
+            if closing.end_tag_handlers:
+                facade = EndTag(closing.tag_name, closing)
+                for cb in closing.end_tag_handlers:
+                    try:
+                        cb(facade)
+                    except RewriteError:
+                        raise
+                    except Exception as exc:
+                        raise RewriteError(str(exc)) from exc
+            if ruby_stack:
+                # Selma's per-handler stack pops its TOP entry whenever an
+                # element's own end tag fires (rewriter.rs:423-428)
+                ruby_stack.pop()
+
+            if closing.suppressing:
+                suppress -= 1
+            if suppress == 0:
+                mode = closing.removed_mode
+                if mode is None and not closing.end_removed:
+                    if closing.append_parts:
+                        for p in closing.append_parts:
+                            emit(p)
+                    emit(f"</{closing.tag_name}>" if closing.renamed else tok.raw)
+                elif mode == "unwrap":
+                    if closing.append_parts:
+                        for p in closing.append_parts:
+                            emit(p)
+                if closing.after_parts:
+                    for p in closing.after_parts:
+                        emit(p)
+            continue
+
+        if kind == tk.COMMENT:
+            if escape_filter is not None:
+                if suppress == 0:
+                    emit(tok.raw)
+            elif sanitizer is not None and not sanitizer.allow_comments:
+                pass  # removed
+            elif suppress == 0:
+                emit(tok.raw)
+            continue
+
+        if kind == tk.DOCTYPE:
+            if escape_filter is not None:
+                if suppress == 0:
+                    emit(tok.raw)
+            elif sanitizer is not None and not sanitizer.allow_doctype:
+                pass
+            elif suppress == 0:
+                emit(tok.raw)
+            continue
+
+    return "".join(out)
+
+
+def _sanitize_element(sanitizer: Sanitizer, node: _Node) -> None:
+    """Per-element sanitizer step (reference: the element!("*") handler at
+    rewriter.rs:284-294 -> try_remove_element + sanitize_attributes)."""
+    name = node.tag_name
+    if not node.removed and not sanitizer.allow_element(name):
+        remove_contents, wrap_ws = sanitizer.removal_mode(name)
+        if remove_contents:
+            node.removed_mode = "content"
+        else:
+            if wrap_ws:
+                if node.void or node.explicit_self_closing:
+                    node.add_part("after_parts", " ")
+                else:
+                    node.add_part("before_parts", " ")
+                    node.add_part("after_parts", " ")
+            node.removed_mode = "unwrap"
+        return
+
+    # kept element: iframe contents are always emptied (sanitizer.rs:647-654)
+    if name == "iframe":
+        node.inner_content = " " if sanitizer.element_flags(name) != 0 else ""
+
+    if not node.attrs:
+        return
+
+    is_meta = tag_index(name) == tag_index("meta") and name == "meta"
+    for entry in list(node.attrs):
+        attr_name, attr_val, has_value = entry
+        if attr_name.startswith("<!--"):
+            # <!-- smuggled inside a tag: drop the whole element
+            # (sanitizer.rs:418-425)
+            node.removed_mode = "content"
+            return
+        trimmed = attr_val.lstrip()
+        unescaped = unescape_html(trimmed)
+        if not sanitizer.should_keep_attribute(name, attr_name, unescaped):
+            node.attrs.remove(entry)
+            node.modified = True
+        else:
+            if is_meta:
+                if attr_name == "charset" and unescaped != "utf-8":
+                    entry[1] = "utf-8"
+                    node.modified = True
+            elif unescaped:
+                if attr_name == "href":
+                    new_val = escape_href(unescaped)
+                else:
+                    new_val = escape_html(unescaped)
+                entry[1] = new_val
+                entry[2] = True
+                node.modified = True

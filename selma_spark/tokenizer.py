@@ -1,0 +1,306 @@
+"""Streaming HTML tokenizer.
+
+A from-scratch, HTML5-flavoured tokenizer producing the same observable
+token stream as the streaming rewriter the reference wraps (single pass,
+no DOM, raw source slices preserved for untouched passthrough). Behaviors
+pinned by the reference test corpus:
+
+* a ``<`` not followed by ``/``, ``!``, ``?`` or an ASCII letter is literal
+  text (test/selma_sanitizer_parser_test.rb:32-36);
+* an incomplete tag at EOF is dropped entirely
+  (test/selma_sanitizer_malicious_html_test.rb:142-147 half-open img -> "");
+* an unterminated comment swallows to EOF but IS a comment token
+  (test/selma_sanitizer_comments_test.rb:18 "foo <!-- " -> kept raw when
+  comments are allowed);
+* rawtext/rcdata/script elements swallow everything until their literal
+  close tag, or EOF (test/selma_sanitizer_parser_test.rb:26-30);
+* orphan end tags are their own tokens (they pass through the sanitizer,
+  see rewriter-level tests around test/test_helper.rb:47-53 goldens).
+
+Attribute tokens record byte offsets of name and value in the original
+input for ``attribute_source_location``
+(reference: ext/selma/src/html/element.rs:117-156).
+"""
+
+from __future__ import annotations
+
+from .tags import (
+    RAWTEXT_TAGS,
+    RCDATA_TAGS,
+    TEXT_TYPE_DATA,
+    TEXT_TYPE_PLAIN,
+    text_type_for,
+)
+
+# token kinds
+TEXT = 0
+START_TAG = 1
+END_TAG = 2
+COMMENT = 3
+DOCTYPE = 4
+
+_WS = " \t\n\r\f"
+_WS_SET = frozenset(_WS)
+_ATTR_NAME_END = frozenset(_WS + "/>=")
+_UNQUOTED_END = frozenset(_WS + ">")
+_TAG_NAME_END = frozenset(_WS + "/>")
+
+_ASCII_ALPHA = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+
+
+class Attr:
+    """One parsed attribute. ``value`` is the raw source value (entities
+    NOT decoded); ``has_value`` distinguishes ``disabled`` from
+    ``disabled=""``. Source spans are (start, end) byte offsets or None."""
+
+    __slots__ = ("name", "raw_name", "value", "has_value", "name_span", "value_span")
+
+    def __init__(self, name, raw_name, value, has_value, name_span, value_span):
+        self.name = name
+        self.raw_name = raw_name
+        self.value = value
+        self.has_value = has_value
+        self.name_span = name_span
+        self.value_span = value_span
+
+
+class Token:
+    __slots__ = ("kind", "raw", "name", "attrs", "self_closing", "text_type")
+
+    def __init__(self, kind, raw, name=None, attrs=None, self_closing=False,
+                 text_type=TEXT_TYPE_DATA):
+        self.kind = kind
+        self.raw = raw
+        self.name = name          # lowercase tag name for START/END
+        self.attrs = attrs        # list[Attr] for START
+        self.self_closing = self_closing  # explicit "/>" only
+        self.text_type = text_type
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Token({self.kind}, {self.raw!r}, name={self.name!r})"
+
+
+def tokenize(html: str) -> list[Token]:
+    tokens: list[Token] = []
+    append = tokens.append
+    n = len(html)
+    i = 0
+    find = html.find
+    # lowercase copy for case-insensitive close-tag scans in rawtext modes
+    hlow = None
+
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            append(Token(TEXT, html[i:]))
+            break
+        if lt > i:
+            append(Token(TEXT, html[i:lt]))
+        j = lt + 1
+        if j >= n:
+            # lone "<" at EOF: incomplete token, dropped
+            break
+        c = html[j]
+        if c in _ASCII_ALPHA:
+            tok, i = _parse_start_tag(html, lt)
+            if tok is None:
+                break  # incomplete tag at EOF -> dropped
+            append(tok)
+            mode_tag = tok.name
+            if mode_tag == "plaintext":
+                if i < n:
+                    append(Token(TEXT, html[i:], text_type=TEXT_TYPE_PLAIN))
+                break
+            if not tok.self_closing and (
+                mode_tag == "script"
+                or mode_tag in RAWTEXT_TAGS
+                or mode_tag in RCDATA_TAGS
+            ):
+                if hlow is None:
+                    hlow = html.lower()
+                i = _consume_rawtext(html, hlow, i, mode_tag, append)
+        elif c == "/":
+            k = j + 1
+            if k >= n:
+                break  # "</" at EOF dropped
+            c2 = html[k]
+            if c2 in _ASCII_ALPHA:
+                tok, i = _parse_end_tag(html, lt)
+                if tok is None:
+                    break
+                append(tok)
+            elif c2 == ">":
+                i = k + 1  # "</>" dropped entirely (HTML5)
+            else:
+                # bogus comment "</ ..."
+                gt = find(">", k)
+                if gt < 0:
+                    append(Token(COMMENT, html[lt:]))
+                    break
+                append(Token(COMMENT, html[lt : gt + 1]))
+                i = gt + 1
+        elif c == "!":
+            if html.startswith("--", j + 1):
+                # comment; HTML5 allows the abrupt "<!-->" / "<!--->"
+                body_start = j + 3
+                if html.startswith(">", body_start):
+                    append(Token(COMMENT, html[lt : body_start + 1]))
+                    i = body_start + 1
+                    continue
+                if html.startswith("->", body_start):
+                    append(Token(COMMENT, html[lt : body_start + 2]))
+                    i = body_start + 2
+                    continue
+                close = find("-->", body_start)
+                if close < 0:
+                    append(Token(COMMENT, html[lt:]))
+                    break
+                append(Token(COMMENT, html[lt : close + 3]))
+                i = close + 3
+            elif html[j + 1 : j + 8].lower() == "doctype":
+                gt = find(">", j)
+                if gt < 0:
+                    append(Token(DOCTYPE, html[lt:]))
+                    break
+                append(Token(DOCTYPE, html[lt : gt + 1]))
+                i = gt + 1
+            else:
+                gt = find(">", j)
+                if gt < 0:
+                    append(Token(COMMENT, html[lt:]))
+                    break
+                append(Token(COMMENT, html[lt : gt + 1]))
+                i = gt + 1
+        elif c == "?":
+            gt = find(">", j)
+            if gt < 0:
+                append(Token(COMMENT, html[lt:]))
+                break
+            append(Token(COMMENT, html[lt : gt + 1]))
+            i = gt + 1
+        else:
+            # literal "<" text; continue scanning after it
+            append(Token(TEXT, "<"))
+            i = j
+    return tokens
+
+
+def _parse_start_tag(html: str, lt: int):
+    """Parse a start tag beginning at ``lt`` (html[lt] == '<', next is
+    alpha). Returns (Token, next_index) or (None, n) if EOF hit before
+    '>' (incomplete tag -> dropped)."""
+    n = len(html)
+    i = lt + 1
+    start_name = i
+    while i < n and html[i] not in _TAG_NAME_END:
+        i += 1
+    raw_name = html[start_name:i]
+    name = raw_name.lower()
+    attrs: list[Attr] = []
+    seen: set[str] = set()
+    self_closing = False
+    while True:
+        # before attribute name
+        while i < n and html[i] in _WS_SET:
+            i += 1
+        if i >= n:
+            return None, n
+        ch = html[i]
+        if ch == ">":
+            i += 1
+            break
+        if ch == "/":
+            if i + 1 < n and html[i + 1] == ">":
+                self_closing = True
+                i += 2
+                break
+            i += 1  # stray "/": parse error, reconsume as before-attr-name
+            continue
+        # attribute name ("=" allowed as first char per HTML5 parse-error path)
+        name_start = i
+        if ch == "=":
+            i += 1
+        while i < n and html[i] not in _ATTR_NAME_END:
+            i += 1
+        raw_attr_name = html[name_start:i]
+        attr_name = raw_attr_name.lower()
+        name_span = (name_start, i)
+        # after attribute name
+        while i < n and html[i] in _WS_SET:
+            i += 1
+        if i >= n:
+            return None, n
+        if html[i] == "=":
+            i += 1
+            while i < n and html[i] in _WS_SET:
+                i += 1
+            if i >= n:
+                return None, n
+            q = html[i]
+            if q == '"' or q == "'":
+                vstart = i + 1
+                vend = html.find(q, vstart)
+                if vend < 0:
+                    return None, n  # unterminated quoted value at EOF
+                value = html[vstart:vend]
+                value_span = (vstart, vend)
+                i = vend + 1
+            else:
+                vstart = i
+                while i < n and html[i] not in _UNQUOTED_END:
+                    i += 1
+                value = html[vstart:i]
+                value_span = (vstart, i)
+            if attr_name not in seen:
+                seen.add(attr_name)
+                attrs.append(
+                    Attr(attr_name, raw_attr_name, value, True, name_span, value_span)
+                )
+        else:
+            if attr_name not in seen:
+                seen.add(attr_name)
+                attrs.append(
+                    Attr(attr_name, raw_attr_name, "", False, name_span, None)
+                )
+    return (
+        Token(START_TAG, html[lt:i], name=name, attrs=attrs, self_closing=self_closing),
+        i,
+    )
+
+
+def _parse_end_tag(html: str, lt: int):
+    n = len(html)
+    i = lt + 2
+    start_name = i
+    while i < n and html[i] not in _TAG_NAME_END:
+        i += 1
+    name = html[start_name:i].lower()
+    gt = html.find(">", i)
+    if gt < 0:
+        return None, n
+    return Token(END_TAG, html[lt : gt + 1], name=name), gt + 1
+
+
+def _consume_rawtext(html: str, hlow: str, i: int, tag: str, append) -> int:
+    """Consume rawtext/rcdata/script content for ``tag`` starting at ``i``.
+    Emits a TEXT token for the content (if non-empty) and returns the index
+    of the matching ``</tag`` sequence (so the main loop parses the end
+    tag), or len(html) when it swallows to EOF."""
+    n = len(html)
+    needle = "</" + tag
+    ttype = text_type_for(tag)
+    pos = i
+    while True:
+        p = hlow.find(needle, pos)
+        if p < 0:
+            if i < n:
+                append(Token(TEXT, html[i:], text_type=ttype))
+            return n
+        after = p + len(needle)
+        if after >= n or html[after] in _TAG_NAME_END:
+            if p > i:
+                append(Token(TEXT, html[i:p], text_type=ttype))
+            return p
+        pos = after

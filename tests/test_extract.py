@@ -1,0 +1,64 @@
+"""Content extraction + large-fixture robustness (reference:
+test/selma_maliciousness_test.rb:167-276)."""
+
+import pathlib
+
+from selma_spark import sanitizer as S
+from selma_spark.extract import ContentExtractor, TextBreaker
+from selma_spark.rewriter import Rewriter
+from selma_spark.sanitizer import deep_merge
+
+FIXTURES = pathlib.Path("/root/reference/test/fixtures")
+
+
+def test_content_extractor_basic():
+    html = (
+        "<html><head><title>My Page</title>"
+        '<meta name="description" content="neat">'
+        '<meta content="no-name"></head>'
+        "<body><h1>Hello</h1><script>boo()</script><p>World</p></body></html>"
+    )
+    ex = ContentExtractor()
+    out = Rewriter(sanitizer=None, handlers=[ex]).rewrite(html)
+    assert ex.title == "My Page"
+    assert ex.meta == {"description": "neat"}
+    assert "boo()" not in out
+    assert "Hello" in out and "World" in out
+    assert "<h1>" not in out
+
+
+def test_extractor_does_not_halt_on_real_docs_fixture():
+    html = (FIXTURES / "docs.html").read_text(encoding="utf-8", errors="replace")
+    cfg = deep_merge(dict(S.RELAXED), {"allow_doctype": False})
+    ex = ContentExtractor()
+    out = Rewriter(sanitizer=cfg, handlers=[ex]).rewrite(html)
+    assert isinstance(out, str)
+    assert ex.title != ""
+
+
+def test_deleting_content_fixture_is_stable():
+    html = (FIXTURES / "deleting_content.html").read_text(
+        encoding="utf-8", errors="replace"
+    )
+    cfg = deep_merge(
+        dict(S.RELAXED), {"allow_comments": False, "allow_doctype": False}
+    )
+
+    class TagRemover:
+        SELECTOR = None
+
+        def selector(self):
+            from selma_spark.selector import Selector
+
+            return Selector(match_element="*")
+
+        def handle_element(self, element):
+            if element.tag_name == "pre":
+                element.remove()
+            elif element.tag_name in ("html", "body"):
+                element.remove_and_keep_content()
+
+    rewriter = Rewriter(sanitizer=cfg, handlers=[TagRemover(), TextBreaker()])
+    first = rewriter.rewrite(html)
+    for _ in range(3):
+        assert rewriter.rewrite(html) == first

@@ -1,0 +1,429 @@
+"""Handler/rewriter behaviors (reference:
+test/selma_rewriter_match_element_test.rb, test/selma_rewriter_text_test.rb,
+test/selma_rewriter_match_attribute_test.rb, test/selma_rewriter_test.rb,
+test/selma_selector_test.rb, test/selma_maliciousness_test.rb)."""
+
+import re
+
+import pytest
+
+from selma_spark.rewriter import MemoryLimitError, RewriteError, Rewriter
+from selma_spark.selector import Selector, SelectorError
+
+
+class H:
+    """Declarative test handler."""
+
+    def __init__(self, selector, element=None, text=None, end_tag=None):
+        self._selector = selector
+        if element is not None:
+            self.handle_element = lambda el: element(self, el)
+        if text is not None:
+            self.handle_text_chunk = lambda t: text(self, t)
+        if end_tag is not None:
+            self.on_end_tag = lambda e: end_tag(self, e)
+
+    def selector(self):
+        return self._selector
+
+
+def rewrite(html, *handlers, sanitizer=None):
+    return Rewriter(sanitizer=sanitizer, handlers=list(handlers)).rewrite(html)
+
+
+# --- element ops -----------------------------------------------------------
+
+def test_set_attribute():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.set_attribute("class", "boldy"))
+    assert rewrite("<strong>Wow!</strong>", h) == '<strong class="boldy">Wow!</strong>'
+
+
+def test_with_sanitizer_rewriting_still_applies():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.set_attribute("class", "boldy"))
+    got = Rewriter(sanitizer={"elements": ["strong"]}, handlers=[h]).rewrite(
+        "<malarky><strong><junk>Wow!</junk></strong></malarky>"
+    )
+    assert got == '<strong class="boldy">Wow!</strong>'
+
+
+def test_handlers_run_in_order():
+    first = H(Selector(match_element="div"),
+              element=lambda s, el: el.set_attribute("class", "boldy"))
+
+    def second_fn(s, el):
+        if el["class"] == "boldy":
+            el["class"] += " boldy2"
+
+    second = H(Selector(match_element="div"), element=second_fn)
+    frag = "<div>Wow!</div>"
+    assert rewrite(frag, first) == '<div class="boldy">Wow!</div>'
+    assert rewrite(frag, second) == frag
+    assert rewrite(frag, first, second) == '<div class="boldy boldy2">Wow!</div>'
+
+
+def test_ancestors():
+    seen = []
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: seen.append(el.ancestors))
+    rewrite("<div><p><foo><strong>Wow!</strong></foo></p></div>", h)
+    assert seen == [["div", "p", "foo"]]
+
+
+def test_empty_ancestors():
+    seen = []
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: seen.append((el.tag_name, el.ancestors)))
+    rewrite("<strong>Wow!</strong>", h)
+    assert seen == [("strong", [])]
+
+
+def test_append_html():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.append("<em>Gee!</em>", as_="html"))
+    assert rewrite("<strong>Wow!</strong>", h) == "<strong>Wow!<em>Gee!</em></strong>"
+
+
+def test_append_text_is_escaped():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.append("<em>Gee!</em>", as_="text"))
+    assert rewrite("<strong>Wow!</strong>", h) == \
+        "<strong>Wow!&lt;em&gt;Gee!&lt;/em&gt;</strong>"
+
+
+def test_before_html():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.before("<span>wow?</span>", as_="html"))
+    assert rewrite("<strong>Wow!</strong>", h) == \
+        "<span>wow?</span><strong>Wow!</strong>"
+
+
+def test_after_html():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.after("<span>ok?</span>", as_="html"))
+    assert rewrite("<strong>Wow!</strong>", h) == \
+        "<strong>Wow!</strong><span>ok?</span>"
+
+
+def test_set_inner_content():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.set_inner_content("Gee!", as_="text"))
+    assert rewrite("<strong>Wow!</strong>", h) == "<strong>Gee!</strong>"
+
+
+def test_handler_errors_abort_the_rewrite():
+    def boom(s, el):
+        raise ValueError("boom!")
+
+    h = H(Selector(match_element="strong"), element=boom)
+    with pytest.raises(RuntimeError):
+        rewrite("<strong>Wow!</strong>", h)
+
+
+def test_set_tag_name():
+    def rename(s, el):
+        el.tag_name = "bold"
+
+    h = H(Selector(match_element="strong"), element=rename)
+    assert rewrite("<strong>Wow!</strong>", h) == "<bold>Wow!</bold>"
+
+
+def test_has_attribute():
+    seen = []
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: seen.append(el.has_attribute("class")))
+    rewrite('<strong class="urgent">Wow!</strong>', h)
+    assert seen == [True]
+
+
+def test_remove():
+    removed_flags = []
+
+    def f(s, el):
+        el.remove()
+        removed_flags.append(el.removed)
+
+    h = H(Selector(match_element="strong"), element=f)
+    assert rewrite("<div>Wow<strong>!</strong></div>", h) == "<div>Wow</div>"
+    assert removed_flags == [True]
+
+
+def test_remove_and_keep_content():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.remove_and_keep_content())
+    assert rewrite("<div>Wow<strong>!</strong></div>", h) == "<div>Wow!</div>"
+
+
+# --- attribute ops (match_attribute_test.rb) --------------------------------
+
+def test_remove_attribute_scoped_to_selector():
+    h = H(Selector(match_element="a"),
+          element=lambda s, el: el.remove_attribute("foo"))
+    assert rewrite("<a foo='bleh'><span foo='keep'>Wow!</span></a>", h) == \
+        "<a><span foo='keep'>Wow!</span></a>"
+
+
+def test_attributes_hash():
+    seen = []
+    h = H(Selector(match_element="div"),
+          element=lambda s, el: seen.append(el.attributes))
+    rewrite("<article><div class='a b c 1 2 3' data-foo='baz'>Wow!</div></article>", h)
+    assert seen == [{"class": "a b c 1 2 3", "data-foo": "baz"}]
+
+
+# --- text ops (text_test.rb) -------------------------------------------------
+
+def test_text_rewrite_all():
+    h = H(Selector(match_text_within="*"),
+          text=lambda s, t: t.replace(t.to_s().replace("Wow", "MEOW!", 1), as_="text"))
+    assert rewrite("<div>Wow!</div><span>Wow!</span><a>Wow!</a>", h) == \
+        "<div>MEOW!!</div><span>MEOW!!</span><a>MEOW!!</a>"
+
+
+def test_rc_data_text_type():
+    seen = []
+    h = H(Selector(match_text_within="*"),
+          text=lambda s, t: seen.append(t.text_type))
+    rewrite("<title>Howdy</title>", h)
+    assert seen == ["rc_data"]
+
+
+def test_text_scoped_to_elements():
+    h = H(Selector(match_text_within="a, div"),
+          text=lambda s, t: t.replace(t.to_s().replace("Wow", "MEOW!", 1), as_="text"))
+    assert rewrite("<div>Wow!</div><span>Wow!</span><a>Wow!</a>", h) == \
+        "<div>MEOW!!</div><span>Wow!</span><a>MEOW!!</a>"
+
+
+def test_text_before():
+    h = H(Selector(match_text_within="div"),
+          text=lambda s, t: t.before("MEOW! ", as_="text"))
+    assert rewrite("<div>Wow!</div>", h) == "<div>MEOW! Wow!</div>"
+
+
+def test_text_after():
+    h = H(Selector(match_text_within="div"),
+          text=lambda s, t: t.after(" MEOW!", as_="text"))
+    assert rewrite("<div>Wow!</div>", h) == "<div>Wow! MEOW!</div>"
+
+
+def test_element_and_text_combined():
+    h = H(Selector(match_element="div", match_text_within="div, p, a"),
+          element=lambda s, el: el.set_attribute("class", "neato"),
+          text=lambda s, t: t.replace(t.to_s().replace("you", "y'all", 1), as_="html"))
+    frag = "<div><p>Could you visit <a>this link and tell me what you think?</a> Thank you!</div>"
+    assert rewrite(frag, h) == (
+        '<div class="neato"><p>Could y\'all visit <a>this link and tell me '
+        "what y'all think?</a> Thank y'all!</div>"
+    )
+
+
+def test_ignore_text_within():
+    h = H(Selector(match_text_within="*", ignore_text_within=["code", "pre"]),
+          text=lambda s, t: t.replace(
+              t.to_s().replace("@gjtorik", "@gjtorikian", 1), as_="text"))
+    frag = '<div><p>Hello @gjtorik: <code>@gjtorik</code></p><br/> <pre>@gjtorik</pre></div>'
+    assert rewrite(frag, h) == (
+        '<div><p>Hello @gjtorikian: <code>@gjtorik</code></p><br/> '
+        "<pre>@gjtorik</pre></div>"
+    )
+
+
+def test_ignore_text_within_considers_indirect_ancestors():
+    h = H(Selector(match_text_within="*", ignore_text_within=["code"]),
+          text=lambda s, t: t.replace(t.to_s().replace("foo", "bar", 1), as_="html"))
+    frag = '<p>foo</p><code>foo<span class="highlight">foo</span></code>'
+    assert rewrite(frag, h) == \
+        '<p>bar</p><code>foo<span class="highlight">foo</span></code>'
+
+
+def test_text_replace_chaining_across_handlers():
+    one = H(Selector(match_text_within="*"),
+            text=lambda s, t: t.replace(t.to_s().replace("1", "2"), as_="text"))
+    two = H(Selector(match_text_within="*"),
+            text=lambda s, t: t.replace(t.to_s().replace("2", "3"), as_="text"))
+    assert rewrite("<div>1 + 2 = 6</div>", one, two) == "<div>3 + 3 = 6</div>"
+
+
+def test_html_replace_stacking():
+    one = H(Selector(match_text_within="*"),
+            text=lambda s, t: t.replace(
+                t.to_s().replace("1", "<strong>1</strong>", 1), as_="html"))
+    two = H(Selector(match_text_within="*"),
+            text=lambda s, t: t.replace(
+                t.to_s().replace("2", "<em>2</em>", 1), as_="html"))
+    assert rewrite("<div>1 + 2 = 3</div>", one, two) == \
+        "<div><strong>1</strong> + <em>2</em> = 3</div>"
+
+
+# --- rewriter_test.rb ---------------------------------------------------------
+
+def test_memory_options_validation():
+    with pytest.raises(ValueError):
+        Rewriter(options={"memory": {"max_allowed_memory_usage": 4}}).rewrite("12345")
+
+
+def test_memory_limit_exceeded():
+    html = "<p>" + "x" * 4096 + "</p>"
+    r = Rewriter(options={"memory": {
+        "max_allowed_memory_usage": len(html) // 2,
+        "preallocated_parsing_buffer_size": len(html) // 4,
+    }})
+    with pytest.raises(MemoryLimitError):
+        r.rewrite(html)
+
+
+def test_rewritten_text_chunk_is_not_sanitized():
+    def mention(s, t):
+        content = t.to_s()
+        if "@" not in content:
+            return
+        html = re.sub(
+            r"@(\w+)",
+            r'<a href="https://yetto.app/\1" class="user-mention">@\1</a>',
+            content,
+        )
+        t.replace(html, as_="html")
+
+    h = H(Selector(match_text_within="*"), text=mention)
+    cfg = {"elements": ["a", "p"], "attributes": {"a": ["href"]},
+           "protocols": {"a": {"href": ["https"]}}}
+    got = Rewriter(sanitizer=cfg, handlers=[h]).rewrite(
+        "<p>Hey there, @gjtorikian is here.</p>"
+    )
+    assert got == (
+        '<p>Hey there, <a href="https://yetto.app/gjtorikian" '
+        'class="user-mention">@gjtorikian</a> is here.</p>'
+    )
+
+
+# --- selector_test.rb ----------------------------------------------------------
+
+def test_invalid_css_raises():
+    with pytest.raises(SelectorError):
+        Selector(match_element="a[href=]")
+
+
+def test_empty_css_raises():
+    with pytest.raises(SelectorError):
+        Selector(match_element="")
+
+
+def test_nested_not_accepted():
+    Selector(match_element="div:not(:not(.foo))")
+    Selector(match_element=":not(:not(:not(span)))")
+
+
+def test_nested_not_matching():
+    h = H(Selector(match_element="a:not(:not(.keep))"),
+          element=lambda s, el: el.set_attribute("data-matched", "true"))
+    assert rewrite('<a class="keep">yes</a><a class="other">no</a>', h) == \
+        '<a class="keep" data-matched="true">yes</a><a class="other">no</a>'
+
+
+def test_not_with_attribute():
+    h = H(Selector(match_element='a:not([class="anchor"])'),
+          element=lambda s, el: el.remove_attribute("class"))
+    assert rewrite('<a class="x">1</a><a class="anchor">2</a>', h) == \
+        "<a>1</a><a class=\"anchor\">2</a>"
+
+
+# --- maliciousness_test.rb ------------------------------------------------------
+
+def test_missing_selector_raises():
+    class NoSelector:
+        def handle_element(self, el):
+            pass
+
+    with pytest.raises(AttributeError):
+        Rewriter(sanitizer=None, handlers=[NoSelector()])
+
+
+def test_missing_handle_element_tolerated():
+    h = H(Selector(match_element="b"))
+    assert rewrite("<span>Wow!</span>", h) == "<span>Wow!</span>"
+    assert rewrite("<b>Wow!</b>", h) == "<b>Wow!</b>"
+
+
+def test_missing_handle_text_chunk_raises():
+    h = H(Selector(match_text_within="strong"))
+    with pytest.raises(RuntimeError):
+        rewrite("<strong>Wow!</strong>", h)
+
+
+def test_blank_handlers_and_nil_sanitizer_raises():
+    with pytest.raises(ValueError):
+        Rewriter(sanitizer=None, handlers=[])
+
+
+def test_non_list_handlers_raises():
+    with pytest.raises(TypeError):
+        Rewriter(sanitizer=None, handlers=818)
+
+
+def test_wrong_handler_type_raises():
+    with pytest.raises((AttributeError, TypeError)):
+        Rewriter(sanitizer=None, handlers=[562])
+
+
+def test_selector_with_no_options_raises():
+    with pytest.raises(ValueError):
+        Selector()
+
+
+def test_selector_wrong_types_raise():
+    with pytest.raises(TypeError):
+        Selector(match_element=42)
+    with pytest.raises(TypeError):
+        Selector(match_text_within=42)
+
+
+# --- attribute source locations (attribute_source_location_test.rb) -----------
+
+def test_attr_source_locations():
+    locs = {}
+    h = H(Selector(match_element="a, input, div"),
+          element=lambda s, el: locs.update({
+              n: el.attribute_source_location(n)
+              for n in ("href", "disabled", "nope", "class", "data-foo")
+          }))
+    html = '<p>hi <a href="/world">link</a></p>'
+    rewrite(html, h)
+    loc = locs["href"]
+    assert html[loc["name"][0]:loc["name"][1]] == "href"
+    assert html[loc["value"][0]:loc["value"][1]] == "/world"
+    assert locs["nope"] is None
+
+    locs.clear()
+    html = '<input disabled="">'
+    rewrite(html, h)
+    loc = locs["disabled"]
+    assert html[loc["name"][0]:loc["name"][1]] == "disabled"
+    assert html[loc["value"][0]:loc["value"][1]] == ""
+
+    locs.clear()
+    rewrite("<input disabled>", h)
+    assert locs["disabled"] is None
+
+    locs.clear()
+    html = '<div class="a b" data-foo="baz">x</div>'
+    rewrite(html, h)
+    assert html[slice(*locs["class"]["value"])] == "a b"
+    assert html[slice(*locs["data-foo"]["value"])] == "baz"
+    assert locs["class"]["name"] != locs["data-foo"]["name"]
+
+
+def test_added_attribute_has_no_source_location():
+    captured = {}
+
+    def f(s, el):
+        el.set_attribute("data-new", "x")
+        captured["added"] = el.attribute_source_location("data-new")
+        captured["orig"] = el.attribute_source_location("href")
+
+    h = H(Selector(match_element="a"), element=f)
+    html = '<a href="/x">link</a>'
+    rewrite(html, h)
+    assert captured["added"] is None
+    assert html[slice(*captured["orig"]["value"])] == "/x"
