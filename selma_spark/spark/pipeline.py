@@ -1,0 +1,286 @@
+"""The distributed rewrite pipeline.
+
+Spark-first design notes (scale target: 10^12 docs / ~100 TB):
+
+* The document rewrite is a NARROW transformation: scan -> mapInPandas ->
+  sink. Zero shuffles on the hot path; parallelism comes from input
+  splits (``spark.sql.files.maxPartitionBytes``), so the plan scales
+  linearly with executors — this is what the N->4N scaling-efficiency
+  criterion measures.
+* All per-token work happens inside ONE arrow-vectorized UDF per batch
+  (the reference fuses all handlers into one streaming parse,
+  reference rewriter.rs:356-440 / README.md:7; Catalyst cannot fuse
+  across opaque UDFs, so we must not split handlers into separate UDF
+  columns).
+* Documents whose text spans contain no ``<`` bypass tokenization
+  entirely (cheap Python check; semantics are identity for tag-free
+  text — pinned by test/selma_sanitizer_parser_test.rb:7-13).
+* Skew: documents are atomic units, so giant-document skew is handled
+  by *byte-weighted bucketing* (greedy round-robin over size order) —
+  an explicit repartition, used when writing resumable output.
+* Resume: output is bucketed by a DETERMINISTIC function of doc_id
+  (not spark_partition_id), written per-bucket with dynamic partition
+  overwrite; a ``lineage`` table records completed buckets and a
+  restart anti-joins them away.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..rewriter import Rewriter
+from ..sanitizer import BUILTIN_CONFIGS
+from .datagen import DOC_SCHEMA
+
+METRICS_SCHEMA = (
+    "stage string, partition_id int, docs long, bytes_in long, "
+    "bytes_out long, wall_ms long"
+)
+LINEAGE_SCHEMA = (
+    "partition_id int, doc_count long, checksum string, status string, "
+    "attempt int, ts timestamp"
+)
+
+
+def resolve_config(config):
+    """Accept a builtin name, a config dict, or None (sanitizer off)."""
+    if isinstance(config, str):
+        return BUILTIN_CONFIGS[config.lower()]
+    return config
+
+
+def make_rewrite_fn(config="default", handlers_factory=None):
+    """Build the mapInArrow function: record batches of
+    (..., spans, ...) rows in, same schema out. Text spans are rewritten;
+    media spans pass through byte-identical with order preserved.
+
+    Works directly on the arrow ListArray's flat struct children — only
+    the text strings ever cross into Python objects (no per-span dict
+    materialization), which keeps the arrow hop ~5x cheaper than a
+    pandas round-trip on nested data."""
+    cfg = resolve_config(config)
+
+    def fn(batches):
+        import pyarrow as pa  # noqa: PLC0415 (executor-side import)
+
+        # one Rewriter per task (the reference rebuilds its handler table
+        # per #rewrite — rewriter.rs:330 TODO notes the waste; we hoist it)
+        handlers = handlers_factory() if handlers_factory else None
+        if cfg is None and not handlers:
+            rewriter = None  # pure passthrough
+            rw = None
+        else:
+            rewriter = Rewriter(sanitizer=cfg, handlers=handlers or [])
+            rw = rewriter.rewrite
+        for batch in batches:
+            spans_idx = batch.schema.get_field_index("spans")
+            lst = batch.column(spans_idx)
+            # .offsets are absolute indices into .values even for sliced
+            # arrays, so reconstruction below is slice-safe
+            values = lst.values
+            kinds = values.field("kind")
+            texts = values.field("text")
+            is_text = kinds.to_pylist()
+            old_texts = texts.to_pylist()
+            new_texts = [
+                rw(t)
+                if (rw is not None and k == "text" and t and "<" in t)
+                else t
+                for k, t in zip(is_text, old_texts)
+            ]
+            struct_type = lst.type.value_type
+            new_values = pa.StructArray.from_arrays(
+                [
+                    kinds,
+                    pa.array(new_texts, type=pa.string()),
+                    values.field("media_ref"),
+                    values.field("offset"),
+                ],
+                # reuse the incoming field metadata so nullability survives
+                # the round-trip (literal-built plans declare non-null)
+                fields=[struct_type.field(i) for i in range(struct_type.num_fields)],
+            )
+            new_lst = pa.ListArray.from_arrays(
+                lst.offsets, new_values, type=lst.type
+            )
+            arrays = [
+                new_lst if i == spans_idx else batch.column(i)
+                for i in range(batch.num_columns)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=batch.schema)
+
+    return fn
+
+
+def rewrite_documents(
+    docs: DataFrame,
+    config="default",
+    handlers_factory=None,
+) -> DataFrame:
+    """Rewrite every text span of every document. Narrow plan: no shuffle."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    return docs.mapInArrow(
+        make_rewrite_fn(config, handlers_factory), schema=docs.schema
+    )
+
+
+def rewritten_text(docs: DataFrame, config="default") -> DataFrame:
+    """Rewrite + concatenate the text spans per document (offset order).
+    Returns (doc_id, out_text) — the comparison surface the SQL oracle
+    can mirror."""
+    out = rewrite_documents(docs, config)
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                    lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                    .when(a["offset"] > b["offset"], 1)
+                    .otherwise(0),
+                ),
+                lambda s: s["text"],
+            ),
+            "",
+        ).alias("out_text"),
+    )
+
+
+# --- byte-weighted skew rebalancing ---------------------------------------
+
+
+def with_doc_bytes(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "_bytes",
+        F.aggregate(
+            "spans",
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+        ),
+    )
+
+
+def bucketed(docs: DataFrame, n_buckets: int, byte_weighted: bool = False) -> DataFrame:
+    """Assign a deterministic bucket per document.
+
+    hash mode: pmod(xxhash64(doc_id), n) — uniform in doc COUNT, no extra
+    shuffle beyond the bucketing itself.
+    byte_weighted mode: documents ordered by size desc and dealt
+    round-robin (greedy LPT approximation) — balances BYTES when 1% of
+    docs are 50-1000x base size. Costs one global sort; use for skewed
+    corpora."""
+    if not byte_weighted:
+        return docs.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+    from pyspark.sql.window import Window
+
+    sized = with_doc_bytes(docs)
+    w = Window.orderBy(F.desc("_bytes"), F.col("doc_id"))
+    return (
+        sized.withColumn("_rank", F.row_number().over(w))
+        .withColumn("bucket", ((F.col("_rank") - 1) % n_buckets).cast("int"))
+        .drop("_rank", "_bytes")
+    )
+
+
+# --- resumable run with lineage + metrics ----------------------------------
+
+
+class PipelineResult:
+    def __init__(self, output_path, lineage_path, metrics_path):
+        self.output_path = output_path
+        self.lineage_path = lineage_path
+        self.metrics_path = metrics_path
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    config="default",
+    handlers_factory=None,
+    n_buckets: int = 64,
+    byte_weighted: bool = False,
+    resume: bool = True,
+) -> PipelineResult:
+    """Checkpoint-resumable rewrite: output parquet partitioned by a
+    deterministic doc_id bucket + per-bucket lineage + stage metrics.
+
+    On restart, buckets recorded 'ok' in lineage are anti-joined away and
+    only the remainder is recomputed (dynamic partition overwrite keeps
+    completed bucket directories intact)."""
+    out_path = f"{output_dir}/documents"
+    lineage_path = f"{output_dir}/lineage"
+    metrics_path = f"{output_dir}/metrics"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    b = bucketed(docs, n_buckets, byte_weighted=byte_weighted)
+
+    done = None
+    if resume:
+        try:
+            done = (
+                spark.read.parquet(lineage_path)
+                .where(F.col("status") == "ok")
+                .select("partition_id")
+                .distinct()
+            )
+        except Exception:
+            done = None
+    if done is not None:
+        # broadcast anti-join: lineage is tiny relative to the corpus
+        b = b.join(
+            F.broadcast(done),
+            b["bucket"] == done["partition_id"],
+            "left_anti",
+        )
+
+    t0 = time.time()
+    b = b.repartition(n_buckets, "bucket")
+    rewritten = b.mapInArrow(
+        make_rewrite_fn(config, handlers_factory), schema=b.schema
+    )
+    rewritten.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    wall_ms = int((time.time() - t0) * 1000)
+    spark.catalog.refreshByPath(out_path)
+
+    # lineage + metrics derived from the committed output (consistent
+    # with what actually landed)
+    out_df = spark.read.parquet(out_path)
+    lineage = out_df.groupBy(F.col("bucket").cast("int").alias("partition_id")).agg(
+        F.count("*").alias("doc_count"),
+        F.sha2(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))), 256
+        ).alias("checksum"),
+        F.lit("ok").alias("status"),
+        F.lit(1).alias("attempt"),
+        F.current_timestamp().alias("ts"),
+    )
+    lineage.write.mode("overwrite").parquet(lineage_path)
+    spark.catalog.refreshByPath(lineage_path)
+
+    metrics = out_df.groupBy(F.col("bucket").cast("int").alias("partition_id")).agg(
+        F.count("*").alias("docs"),
+        F.sum(
+            F.aggregate(
+                "spans", F.lit(0).cast("bigint"),
+                lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+            )
+        ).alias("bytes_out"),
+    ).select(
+        F.lit("rewrite").alias("stage"),
+        "partition_id",
+        "docs",
+        F.lit(None).cast("long").alias("bytes_in"),
+        "bytes_out",
+        F.lit(wall_ms).alias("wall_ms"),
+    )
+    metrics.write.mode("overwrite").parquet(metrics_path)
+    spark.catalog.refreshByPath(metrics_path)
+    return PipelineResult(out_path, lineage_path, metrics_path)

@@ -1,0 +1,571 @@
+"""Driver-facing query catalog: every operator as a (spark, sf_dir) ->
+DataFrame callable, plus a DuckDB oracle SQL string where the operator is
+ANSI-SQL-expressible.
+
+Column aliases in the Spark plans and oracle SQL match EXACTLY (the
+driver's compare sorts columns by name before hashing values).
+
+The interleaved-span construction and its DEFAULT/RELAXED sanitized
+outputs are deliberately SQL-expressible (see datagen.py) so the oracle
+can verify the *distributed rewrite output values*, not just row counts.
+The golden_* queries additionally pin the engine to the reference's own
+expected outputs (test/test_helper.rb:38-192) as VALUES literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..golden import PROTOCOLS, STRINGS
+from . import simsearch, textops
+from .datagen import bench_spans, interleaved_spans
+from .multimodal import media_features, media_manifest
+from .pipeline import rewrite_documents, rewritten_text
+from .textops import MINHASH_SALTS, STOPWORDS, _LANG_MARKERS
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def spans_df(spark, sf_dir):
+    return interleaved_spans(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# golden corpus through the distributed pipeline
+# --------------------------------------------------------------------------
+
+# cases whose input embeds raw control bytes that cannot round-trip
+# through a SQL literal for the oracle side
+_SQL_UNSAFE_PROTOCOL_CASES = ("protocol_based_js_injection_null_char",)
+
+_CONFIGS = ("default", "restricted", "basic", "relaxed")
+
+
+def _golden_cases(corpus):
+    for case in sorted(corpus):
+        if case in _SQL_UNSAFE_PROTOCOL_CASES:
+            continue
+        yield case, corpus[case]
+
+
+def _golden_query(corpus):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rows = [
+            (case, data["html"]) for case, data in _golden_cases(corpus)
+        ]
+        parts = []
+        for config in _CONFIGS:
+            docs = spark.createDataFrame(rows, "case_name string, html string").select(
+                F.col("case_name").alias("doc_id"),
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.col("html").alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        F.lit(0).cast("int").alias("offset"),
+                    )
+                ).alias("spans"),
+            )
+            parts.append(
+                rewritten_text(docs, config).select(
+                    F.col("doc_id").alias("case_name"),
+                    F.lit(config).alias("config"),
+                    F.col("out_text").alias("output"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("case_name", "config")
+
+    return q
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _golden_oracle(corpus) -> str:
+    values = []
+    for case, data in _golden_cases(corpus):
+        for config in _CONFIGS:
+            values.append(
+                f"({_sql_quote(case)}, {_sql_quote(config)}, "
+                f"{_sql_quote(data[config])})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(values)
+        + ") AS t(case_name, config, output) ORDER BY case_name, config"
+    )
+
+
+# --------------------------------------------------------------------------
+# distributed rewrite over the interleaved-span corpus
+# --------------------------------------------------------------------------
+
+def q_sanitize_default_roundtrip(spark, sf_dir):
+    return rewritten_text(spans_df(spark, sf_dir), "default").orderBy("doc_id")
+
+
+ORACLE_DEFAULT_ROUNDTRIP = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  (CASE doc_id % 6
+     WHEN 0 THEN ' ' || text || ' '
+     WHEN 2 THEN ' ' || text || ' '
+     ELSE text END)
+  || (CASE WHEN doc_id % 3 = 0 THEN 'ok' ELSE '' END) AS out_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_sanitize_relaxed_roundtrip(spark, sf_dir):
+    return rewritten_text(spans_df(spark, sf_dir), "relaxed").orderBy("doc_id")
+
+
+ORACLE_RELAXED_ROUNDTRIP = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  (CASE doc_id % 6
+     WHEN 0 THEN '<div>' || text || '</div>'
+     WHEN 1 THEN '<b>' || text || '</b>'
+     WHEN 2 THEN '<p class="x">' || text || '</p>'
+     WHEN 3 THEN text
+     WHEN 4 THEN '<a href="http://example.com/">' || text || '</a>'
+     ELSE '<span><strong>' || text || '</strong></span>' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN '<em>ok</em>' ELSE '' END) AS out_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_span_kind_counts(spark, sf_dir):
+    out = rewrite_documents(spans_df(spark, sf_dir), "default")
+    return (
+        out.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("kind")
+    )
+
+
+ORACLE_SPAN_KIND_COUNTS = """
+SELECT kind, n FROM (
+  SELECT 'media' AS kind,
+         count(*) FILTER (WHERE doc_id % 4 = 0) AS n FROM documents
+  UNION ALL
+  SELECT 'text' AS kind,
+         count(*) + count(*) FILTER (WHERE doc_id % 3 = 0) AS n
+  FROM documents
+) ORDER BY kind
+"""
+
+
+def q_media_passthrough(spark, sf_dir):
+    out = rewrite_documents(spans_df(spark, sf_dir), "relaxed")
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MEDIA_PASSTHROUGH = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'media://' || doc_id || '/1' AS media_ref
+FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id
+"""
+
+
+def q_span_order_preserved(spark, sf_dir):
+    out = rewrite_documents(spans_df(spark, sf_dir), "default")
+    offs = F.array_sort(F.transform("spans", lambda s: s["offset"]))
+    ok = offs == F.sequence(F.lit(0), F.size("spans") - 1)
+    return out.select(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_ordered"),
+    )
+
+
+ORACLE_SPAN_ORDER = """
+SELECT count(*) AS n_docs, count(*) AS n_ordered FROM documents
+"""
+
+
+def q_relaxed_unchanged_docs(spark, sf_dir):
+    """Set-op demo: doc_ids whose RELAXED rewrite equals the input text
+    (everything except the wrapper-3 docs, whose <script> is stripped)."""
+    docs = spans_df(spark, sf_dir)
+    inp = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            "",
+        ).alias("out_text"),
+    )
+    out = rewritten_text(docs, "relaxed")
+    changed = inp.exceptAll(out).select("doc_id")
+    return (
+        docs.select("doc_id").exceptAll(changed).orderBy("doc_id")
+    )
+
+
+ORACLE_RELAXED_UNCHANGED = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+WHERE doc_id % 6 <> 3 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text-analytics / training-data ops (SQL-parity oracles)
+# --------------------------------------------------------------------------
+
+def q_doc_stats_by_lang(spark, sf_dir):
+    return textops.doc_stats_by_lang(load(spark, sf_dir, "documents"))
+
+
+ORACLE_DOC_STATS = """
+SELECT lang, count(*) AS n_docs,
+       sum(n_chars) AS sum_chars,
+       sum(len(string_split(text, ' '))) AS total_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    return textops.dedup_exact(load(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    return textops.token_counts(load(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stopwords"
+        ),
+        F.array_max(F.transform(toks, F.length)).alias("max_token_len"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_QUALITY = f"""
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_STOP_SQL}))) AS n_stopwords,
+       list_aggregate(list_transform(string_split(text, ' '),
+                                     t -> length(t)), 'max') AS max_token_len
+FROM documents ORDER BY doc_id
+"""
+
+_DUCK_SHINGLES = """
+CASE WHEN len(toks) >= 3
+     THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+     ELSE [array_to_string(toks, ' ')] END
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return textops.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+_MH_COLS = ", ".join(
+    f"list_min(list_transform(sh, x -> md5('{salt}' || x))) AS mh{i}"
+    for i, salt in enumerate(MINHASH_SALTS)
+)
+
+ORACLE_MINHASH = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t)
+SELECT doc_id, {_MH_COLS} FROM s ORDER BY doc_id
+"""
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    return textops.near_dup_pairs(load(spark, sf_dir, "documents"))
+
+
+ORACLE_NEAR_DUP = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t),
+sig AS (SELECT doc_id,
+        list_min(list_transform(sh, x -> md5('s0' || x))) AS band FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return textops.simhash16(load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(toks, t -> upper(substr(md5(t), {j + 1}, 1)) "
+    f"IN ('8','9','A','B','C','D','E','F'))) > len(toks) THEN {1 << j} ELSE 0 END)"
+    for j in range(16)
+)
+
+ORACLE_SIMHASH = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM t ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return textops.ngram_jaccard(load(spark, sf_dir, "documents"), 1, 2)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE doc_id IN (1, 2)),
+s AS (SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM t)
+SELECT 1 AS doc_a, 2 AS doc_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM s a, s b WHERE a.doc_id = 1 AND b.doc_id = 2
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id_ngram(load(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        marks = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({marks}))) "
+            f"AS s_{lang}"
+        )
+    langs_desc = sorted(_LANG_MARKERS, reverse=True)  # argmax lex tie-break
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(_LANG_MARKERS)) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for lang in langs_desc:
+        case += f"WHEN s_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return (
+        "WITH s AS (SELECT doc_id, " + ", ".join(score_cols) + " FROM documents) "
+        f"SELECT doc_id, {case} AS pred_lang FROM s ORDER BY doc_id"
+    )
+
+
+def q_largest_docs_by_lang(spark, sf_dir):
+    """Window/top-k: 3 largest documents per language (skew report)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+ORACLE_LARGEST_DOCS = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3 ORDER BY lang, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qv = simsearch.query_vector(spark, emb, 0)
+    return simsearch.topk_cosine(emb, qv, k=10, exclude_vec_id=0)
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0)
+SELECT e.vec_id,
+  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return simsearch.sign_lsh_buckets(load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_LSH_BUCKETS = """
+SELECT bucket, count(*) AS n_vectors FROM (
+  SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings) GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_label_stats(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                F.when(F.element_at("embedding", 1) > 0, 1).otherwise(0)
+            ).alias("n_pos_c0"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_LABEL_STATS = """
+SELECT label, count(*) AS n_vectors,
+       count(*) FILTER (WHERE embedding[1] > 0) AS n_pos_c0
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+
+def q_media_manifest(spark, sf_dir):
+    return media_manifest(spans_df(spark, sf_dir))
+
+
+ORACLE_MEDIA_MANIFEST = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'media://' || doc_id || '/1' AS media_ref,
+       CASE WHEN substr(md5('media://' || doc_id || '/1'), 1, 1)
+                 IN ('0','1','2','3','4','5') THEN 'image/jpeg'
+            WHEN substr(md5('media://' || doc_id || '/1'), 1, 1)
+                 IN ('6','7','8','9','a') THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime
+FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id, media_ref
+"""
+
+
+def q_media_features(spark, sf_dir):
+    # rows-only check: fake featurizer is not SQL-expressible
+    return media_features(spans_df(spark, sf_dir)).orderBy("media_ref")
+
+
+# --------------------------------------------------------------------------
+# flagship extraction (rows-only: HTML rewriting is not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def _extract_handlers():
+    from ..extract import ContentExtractor  # noqa: PLC0415
+
+    return [ContentExtractor()]
+
+
+def q_extract_flagship(spark, sf_dir):
+    """RELAXED sanitize + boilerplate-strip over the bench corpus
+    (golden fixture HTML embedded in nested spans + skew tail)."""
+    docs = bench_spans(load(spark, sf_dir, "documents"))
+    out = rewrite_documents(docs, "relaxed", handlers_factory=_extract_handlers)
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.aggregate(
+            "spans", F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+        ).alias("out_chars"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# catalog
+# --------------------------------------------------------------------------
+
+def build_queries():
+    return {
+        "golden_strings": _golden_query(STRINGS),
+        "golden_protocols": _golden_query(PROTOCOLS),
+        "sanitize_default_roundtrip": q_sanitize_default_roundtrip,
+        "sanitize_relaxed_roundtrip": q_sanitize_relaxed_roundtrip,
+        "span_kind_counts": q_span_kind_counts,
+        "media_passthrough": q_media_passthrough,
+        "span_order_preserved": q_span_order_preserved,
+        "relaxed_unchanged_docs": q_relaxed_unchanged_docs,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "minhash_signatures": q_minhash_signatures,
+        "near_dup_pairs": q_near_dup_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "largest_docs_by_lang": q_largest_docs_by_lang,
+        "embedding_topk": q_embedding_topk,
+        "lsh_buckets": q_lsh_buckets,
+        "label_stats": q_label_stats,
+        "media_manifest": q_media_manifest,
+        "media_features": q_media_features,
+        "extract_flagship": q_extract_flagship,
+    }
+
+
+def build_oracles():
+    return {
+        "golden_strings": _golden_oracle(STRINGS),
+        "golden_protocols": _golden_oracle(PROTOCOLS),
+        "sanitize_default_roundtrip": ORACLE_DEFAULT_ROUNDTRIP,
+        "sanitize_relaxed_roundtrip": ORACLE_RELAXED_ROUNDTRIP,
+        "span_kind_counts": ORACLE_SPAN_KIND_COUNTS,
+        "media_passthrough": ORACLE_MEDIA_PASSTHROUGH,
+        "span_order_preserved": ORACLE_SPAN_ORDER,
+        "relaxed_unchanged_docs": ORACLE_RELAXED_UNCHANGED,
+        "doc_stats_by_lang": ORACLE_DOC_STATS,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "token_counts": ORACLE_TOKEN_COUNTS,
+        "quality_scores": ORACLE_QUALITY,
+        "minhash_signatures": ORACLE_MINHASH,
+        "near_dup_pairs": ORACLE_NEAR_DUP,
+        "simhash": ORACLE_SIMHASH,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "lang_id": _langid_oracle(),
+        "largest_docs_by_lang": ORACLE_LARGEST_DOCS,
+        "embedding_topk": ORACLE_EMBEDDING_TOPK,
+        "lsh_buckets": ORACLE_LSH_BUCKETS,
+        "label_stats": ORACLE_LABEL_STATS,
+        "media_manifest": ORACLE_MEDIA_MANIFEST,
+        # media_features, extract_flagship: rows-only (non-SQL-expressible)
+    }

@@ -1,0 +1,107 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+array<float>, label).
+
+Brute-force cosine top-k is the exactness baseline (one narrow pass +
+a small top-k); sign-LSH bucketing is the scale path (hash-partitioned
+candidate generation so the 100TB case never does an all-pairs join).
+Dot products run through ``F.aggregate``/``F.zip_with`` — JVM-side
+higher-order functions, no Python in the loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", F.round(_norm("embedding"), 4).alias("norm")
+    ).orderBy("vec_id")
+
+
+def query_vector(spark: SparkSession, embeddings: DataFrame, vec_id: int):
+    row = embeddings.where(F.col("vec_id") == vec_id).select("embedding").head()
+    if row is None:
+        raise ValueError(f"vec_id {vec_id} not found")
+    return [float(x) for x in row[0]]
+
+
+def topk_cosine(
+    embeddings: DataFrame, query: list[float], k: int = 10, exclude_vec_id=None
+) -> DataFrame:
+    """Brute-force cosine top-k against a constant query vector. The
+    query is a literal array (constant-folded by Catalyst; at cluster
+    scale this is a broadcast-free narrow scan + TakeOrdered)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))
+    df = embeddings.select("vec_id", F.round(sim, 4).alias("cosine"))
+    if exclude_vec_id is not None:
+        df = df.where(F.col("vec_id") != exclude_vec_id)
+    return df.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def sign_lsh_buckets(embeddings: DataFrame, n_components: int = 4) -> DataFrame:
+    """Sign-LSH (quadrant) bucketing on the first n components: the
+    IVF-style candidate-pruning path — neighbors are searched only
+    within a bucket, turning all-pairs into a per-bucket problem."""
+    bucket = F.lit(0)
+    for j in range(n_components):
+        bucket = bucket + F.when(
+            F.element_at("embedding", j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return (
+        embeddings.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def topk_cosine_lsh(
+    embeddings: DataFrame, query: list[float], k: int = 10, n_components: int = 4
+) -> DataFrame:
+    """ANN variant: restrict the brute-force scan to the query's LSH
+    bucket (recall < 1.0 by design; the bucket predicate pushes down to
+    the scan)."""
+    qbucket = 0
+    for j in range(n_components):
+        if query[j] > 0:
+            qbucket |= 1 << j
+    bucket = F.lit(0)
+    for j in range(n_components):
+        bucket = bucket + F.when(
+            F.element_at("embedding", j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    candidates = embeddings.where(bucket == qbucket)
+    return topk_cosine(candidates, query, k)
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label count + mean of the first embedding component —
+    a groupBy with map-side partial aggregation."""
+    return (
+        embeddings.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 5).alias(
+                "mean_c0"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,202 @@
+"""Large-scale training-data text operations over the ``documents`` table.
+
+Everything here is expressed with built-in (JVM-side, codegen-friendly)
+``pyspark.sql.functions`` — no Python UDFs — so Catalyst keeps predicate
+pushdown/column pruning and whole-stage codegen. Each op has a matching
+DuckDB oracle in queries.py.
+
+Ops: exact dedup (hash-groupBy), MinHash signatures + LSH candidate
+pairs, SimHash (hex-digit-parity variant), n-gram Jaccard shingles,
+token counting, quality scoring, and a trigram language-ID heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "to", "and")
+MINHASH_SALTS = ("s0", "s1", "s2", "s3")
+
+
+def tokens_col(text_col="text"):
+    return F.split(F.col(text_col), " ")
+
+
+def doc_stats_by_lang(documents: DataFrame) -> DataFrame:
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size(tokens_col())).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+    At scale this is one hash-shuffle with map-side partial aggregation."""
+    return (
+        documents.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy("text_hash")
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.size(tokens_col()).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, token count, mean token length,
+    stopword ratio — the standard cheap pre-filters for a training
+    corpus."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            (F.length("text") - (n_tokens - 1)) / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def _shingles(toks, k=3):
+    # word k-shingles via sequence+transform (stays in codegen)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """MinHash over 3-word shingles: one signature column per salt
+    (min of md5(salt || shingle)); shingle->minhash->band-join is the
+    scalable near-dup path."""
+    toks = tokens_col()
+    sh = _shingles(toks)
+    def salted(salt):
+        # NB: keep the lambda single-arg — F.transform treats a two-arg
+        # lambda as (element, index)
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    cols = [
+        F.array_min(F.transform(sh, salted(salt))).alias(f"mh{i}")
+        for i, salt in enumerate(MINHASH_SALTS)
+    ]
+    return documents.select("doc_id", *cols).orderBy("doc_id")
+
+
+def near_dup_pairs(documents: DataFrame) -> DataFrame:
+    """LSH banding on the first minhash: docs sharing a band bucket are
+    candidate near-duplicates (verified downstream). The self-join
+    shuffles on the band key only."""
+    sig = minhash_signatures(documents).select(
+        "doc_id", F.col("mh0").alias("band")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, F.col("a.band") == F.col("b.band"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash16(documents: DataFrame) -> DataFrame:
+    """16-bit SimHash variant: bit j is the majority vote of the high bit
+    of hex digit j of md5(token) across tokens. Fully SQL-expressible
+    (and mirrored in the DuckDB oracle)."""
+    toks = tokens_col()
+    n = F.size(toks)
+    def hex_high_bit(j):
+        return lambda t: F.upper(F.substring(F.md5(t), j + 1, 1)).isin(
+            "8", "9", "A", "B", "C", "D", "E", "F"
+        )
+
+    bits = []
+    for j in range(16):
+        high = F.size(F.filter(toks, hex_high_bit(j)))
+        bits.append(F.when(high * 2 > n, F.lit(1 << j)).otherwise(F.lit(0)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return documents.select("doc_id", total.alias("simhash")).orderBy("doc_id")
+
+
+def ngram_jaccard(documents: DataFrame, doc_a: int, doc_b: int) -> DataFrame:
+    """Jaccard similarity of two documents' word-3-gram sets."""
+    toks = tokens_col()
+    sh = F.array_distinct(_shingles(toks))
+    d = documents.where(F.col("doc_id").isin(doc_a, doc_b)).select(
+        "doc_id", sh.alias("sh")
+    )
+    a = d.where(F.col("doc_id") == doc_a).select(F.col("sh").alias("sa"))
+    b = d.where(F.col("doc_id") == doc_b).select(F.col("sh").alias("sb"))
+    return a.crossJoin(b).select(
+        F.lit(doc_a).alias("doc_a"),
+        F.lit(doc_b).alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb")),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+# trigram profiles per language: deterministic tiny heuristic (the corpus
+# langs are synthetic labels; this demonstrates the n-gram langid shape)
+_LANG_MARKERS = {
+    "en": ("the", "and"),
+    "es": ("el", "la"),
+    "de": ("der", "und"),
+    "fr": ("le", "et"),
+    "zh": ("de", "shi"),
+}
+
+
+def lang_id_ngram(documents: DataFrame) -> DataFrame:
+    """Language-ID heuristic: score = marker-token hits per language,
+    predict argmax (ties -> 'und'). Structured like a real n-gram
+    classifier but with a deterministic tiny marker table."""
+    toks = tokens_col()
+    def marker_hit(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, marker_hit(markers))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return documents.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+    ).orderBy("doc_id")

@@ -1,0 +1,144 @@
+"""End-to-end Spark pipeline tests: per-document span-sequence equality
+(kind, text, media_ref, order) against the pure-Python core, plus
+checkpoint-resume lineage semantics."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from selma_spark import sanitizer as S
+from selma_spark.golden import STRINGS
+from selma_spark.rewriter import Rewriter
+from selma_spark.spark.datagen import bench_spans, interleaved_spans
+from selma_spark.spark.pipeline import (
+    bucketed,
+    rewrite_documents,
+    run_pipeline,
+    with_doc_bytes,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("selma-pipeline-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def make_span_docs(spark):
+    """Interleaved docs carrying the golden corpus: text + media + text."""
+    rows = []
+    for i, (case, data) in enumerate(sorted(STRINGS.items())):
+        rows.append(
+            (
+                f"doc-{i}",
+                [
+                    {"kind": "text", "text": data["html"], "media_ref": None,
+                     "offset": 0},
+                    {"kind": "media", "text": None,
+                     "media_ref": f"media://doc-{i}/1", "offset": 1},
+                    {"kind": "text", "text": "<b>tail</b>", "media_ref": None,
+                     "offset": 2},
+                ],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+def test_span_sequence_equality_against_core(spark):
+    """The distributed rewrite must equal the pure-Python core span by
+    span: (kind, text, media_ref, order)."""
+    docs = make_span_docs(spark)
+    out = {r["doc_id"]: r["spans"] for r in
+           rewrite_documents(docs, "relaxed").collect()}
+    core = Rewriter(sanitizer=S.RELAXED)
+    for i, (case, data) in enumerate(sorted(STRINGS.items())):
+        spans = out[f"doc-{i}"]
+        assert [s["kind"] for s in spans] == ["text", "media", "text"]
+        assert [s["offset"] for s in spans] == [0, 1, 2]
+        assert spans[0]["text"] == core.rewrite(data["html"]) == data["relaxed"]
+        assert spans[1]["media_ref"] == f"media://doc-{i}/1"
+        assert spans[1]["text"] is None
+        assert spans[2]["text"] == core.rewrite("<b>tail</b>")
+
+
+def test_media_spans_byte_identical_order_preserved(spark):
+    docs = bench_spans(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), replicate=2
+    )
+    before = docs.select(
+        "doc_id", F.expr("filter(spans, s -> s.kind = 'media')").alias("m")
+    )
+    after = rewrite_documents(docs, "default").select(
+        "doc_id", F.expr("filter(spans, s -> s.kind = 'media')").alias("m")
+    )
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+
+def test_bucketing_modes(spark):
+    docs = interleaved_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    h = bucketed(docs, 8)
+    assert h.select("bucket").distinct().count() <= 8
+    # deterministic: same doc -> same bucket across invocations
+    a = {r["doc_id"]: r["bucket"] for r in h.select("doc_id", "bucket").collect()}
+    b = {r["doc_id"]: r["bucket"] for r in
+         bucketed(docs, 8).select("doc_id", "bucket").collect()}
+    assert a == b
+    # byte-weighted mode balances bytes across buckets
+    bw = bucketed(docs, 8, byte_weighted=True)
+    sizes = (
+        with_doc_bytes(bw).groupBy("bucket").agg(F.sum("_bytes").alias("b"))
+        .collect()
+    )
+    vals = [r["b"] for r in sizes]
+    assert max(vals) <= 1.5 * min(vals)
+
+
+def test_run_pipeline_writes_and_resumes(spark):
+    tmp = tempfile.mkdtemp(prefix="selma_pipe_")
+    try:
+        docs = interleaved_spans(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        )
+        res = run_pipeline(spark, docs, tmp, config="default", n_buckets=4)
+        out = spark.read.parquet(res.output_path)
+        assert out.count() == docs.count()
+        lineage = spark.read.parquet(res.lineage_path)
+        assert lineage.where("status = 'ok'").count() == 4
+        assert lineage.columns == [
+            "partition_id", "doc_count", "checksum", "status", "attempt", "ts"
+        ]
+        metrics = spark.read.parquet(res.metrics_path)
+        assert metrics.where("stage = 'rewrite'").count() == 4
+
+        chk1 = {r["partition_id"]: r["checksum"] for r in lineage.collect()}
+
+        # resume: all buckets complete -> rewrite recomputes nothing, output
+        # survives (dynamic overwrite leaves completed buckets intact)
+        res2 = run_pipeline(spark, docs, tmp, config="default", n_buckets=4)
+        out2 = spark.read.parquet(res2.output_path)
+        assert out2.count() == docs.count()
+        chk2 = {
+            r["partition_id"]: r["checksum"]
+            for r in spark.read.parquet(res2.lineage_path).collect()
+        }
+        assert chk1 == chk2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

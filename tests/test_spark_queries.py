@@ -1,0 +1,108 @@
+"""Driver-style correctness gate, run locally: every queries() entry vs
+its DuckDB oracle_sql() on the same parquet tables (sf0.001 for speed;
+the driver runs sf0.01). Compares row count, column names, and
+order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("selma-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows_to_set(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in idx) for r in rows
+    )
+
+
+def _entries():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    return qs, oracles
+
+
+QS, ORACLES = _entries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    df = QS[name](spark, SF_DIR)
+    spark_cols = [c.lower() for c in df.columns]
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _rows_to_set(spark_cols, spark_rows)
+    b = _rows_to_set(duck_cols, duck_rows)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        raise AssertionError(f"value mismatch in {name}; first diffs: {diff}")
+
+
+@pytest.mark.parametrize("name", ["media_features", "extract_flagship"])
+def test_rows_only_queries_run(name, spark):
+    df = QS[name](spark, SF_DIR)
+    assert df.count() > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["doc_id", "n_spans", "out_chars"]
