@@ -427,3 +427,62 @@ def test_added_attribute_has_no_source_location():
     rewrite(html, h)
     assert captured["added"] is None
     assert html[slice(*captured["orig"]["value"])] == "/x"
+
+
+# --- remaining element/end-tag surface ---------------------------------------
+
+def test_prepend():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.prepend("<em>Hey!</em>", as_="html"))
+    assert rewrite("<strong>Wow!</strong>", h) == \
+        "<strong><em>Hey!</em>Wow!</strong>"
+
+
+def test_prepend_text_escaped():
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: el.prepend("<em>", as_="text"))
+    assert rewrite("<strong>Wow!</strong>", h) == "<strong>&lt;em&gt;Wow!</strong>"
+
+
+def test_on_end_tag_fires_with_name():
+    seen = []
+    h = H(Selector(match_element="div"),
+          element=lambda s, el: None,
+          end_tag=lambda s, e: seen.append(e.tag_name))
+    rewrite("<div>hi</div><span>no</span>", h)
+    assert seen == ["div"]
+
+
+def test_on_end_tag_remove():
+    h = H(Selector(match_element="div"),
+          element=lambda s, el: None,
+          end_tag=lambda s, e: e.remove())
+    assert rewrite("<div>hi</div>", h) == "<div>hi"
+
+
+def test_on_end_tag_not_fired_for_implicit_close():
+    seen = []
+    h = H(Selector(match_element="strong"),
+          element=lambda s, el: None,
+          end_tag=lambda s, e: seen.append(e.tag_name))
+    # </a> implicitly closes strong; strong's own end tag never arrives
+    out = rewrite("<a><strong>x</a></strong>", h)
+    assert seen == []
+    assert out == "<a><strong>x</a></strong>"
+
+
+def test_self_closing_flag():
+    seen = []
+    h = H(Selector(match_element="img, br"),
+          element=lambda s, el: seen.append((el.tag_name, el.self_closing)))
+    rewrite("<img src='x'/><br>", h)
+    assert seen == [("img", True), ("br", False)]
+
+
+def test_renamed_end_tag_follows():
+    def f(s, el):
+        el.tag_name = "section"
+
+    h = H(Selector(match_element="div"), element=f)
+    assert rewrite("<div>a<span>b</span></div>", h) == \
+        "<section>a<span>b</span></section>"
