@@ -72,7 +72,7 @@ class _Node:
 
     __slots__ = (
         "orig_name", "raw_name", "tag_name", "renamed", "attrs",
-        "attr_locs", "explicit_self_closing", "void", "raw",
+        "_tok_attrs", "explicit_self_closing", "void", "raw",
         "modified", "removed_mode", "suppressing",
         "before_parts", "prepend_parts", "append_parts", "after_parts",
         "inner_content", "text_active", "end_tag_handlers", "end_removed",
@@ -85,9 +85,7 @@ class _Node:
         self.renamed = False
         # attrs: list of [name_lower, value, has_value]
         self.attrs = [[a.name, a.value, a.has_value] for a in tok.attrs]
-        self.attr_locs = {
-            a.name: (a.name_span, a.value_span, a.has_value) for a in tok.attrs
-        }
+        self._tok_attrs = tok.attrs  # attr_locs built lazily
         self.explicit_self_closing = tok.self_closing
         self.void = tok.name in VOID_TAGS
         self.raw = tok.raw
@@ -199,13 +197,13 @@ class Element:
         missing/added/pure-boolean attrs
         (reference: element.rs:117-156; nil cases pinned by
         test/selma_rewriter_attribute_source_location_test.rb:43-115)."""
-        loc = self._node.attr_locs.get(str(attr).lower())
-        if loc is None:
-            return None
-        name_span, value_span, has_value = loc
-        if not has_value:
-            return None
-        return {"name": name_span, "value": value_span}
+        want = str(attr).lower()
+        for a in self._node._tok_attrs:
+            if a.name == want:
+                if not a.has_value:
+                    return None
+                return {"name": a.name_span, "value": a.value_span}
+        return None
 
     @property
     def ancestors(self) -> list[str]:
@@ -357,17 +355,187 @@ class Rewriter:
             # rewriter.rs:156-227 + test/selma_rewriter_test.rb:60-76)
             if len(html.encode("utf-8", "ignore")) > self.max_allowed_memory_usage:
                 raise MemoryLimitError("The memory limit has been exceeded")
-        out = _run_pass(html, self.sanitizer, self.handlers)
-        if self.sanitizer is not None:
-            out = _run_pass(out, None, [], escape_filter=self.sanitizer)
+        if self.handlers or self.sanitizer is None:
+            out = _run_pass(html, self.sanitizer, self.handlers)
+        else:
+            out = _sanitize_pass(html, self.sanitizer)
+        if self.sanitizer is not None and _needs_final_pass(out):
+            out = _final_pass(out, self.sanitizer)
         return out
+
+
+_ESCAPEWORTHY_RE = __import__("re").compile(
+    r"<(?:title|textarea|style|xmp|iframe|noembed|noframes|script|plaintext)",
+    __import__("re").IGNORECASE,
+)
+
+
+def _needs_final_pass(out: str) -> bool:
+    """The second parse (reference rewriter.rs:323-354) only (a) removes
+    disallowed escapeworthy elements and (b) drops incomplete trailing
+    tokens; when neither can apply the pass is an identity and is skipped
+    (the reference always re-parses — pure overhead we avoid)."""
+    if _ESCAPEWORTHY_RE.search(out):
+        return True
+    lt = out.rfind("<")
+    return lt >= 0 and out.find(">", lt) < 0
 
 
 def rewrite(html, sanitizer=_MISSING, handlers=None, options=None) -> str:
     return Rewriter(sanitizer=sanitizer, handlers=handlers, options=options).rewrite(html)
 
 
-def _run_pass(html, sanitizer, handlers, escape_filter=None) -> str:
+def _final_pass(html, sanitizer) -> str:
+    """Final sanitization (reference rewriter.rs:323-354): re-parse and
+    force-remove disallowed escapeworthy tags. All nine escapeworthy tags
+    are rawtext/rcdata containers (tags.rs:193-209), so their subtrees
+    hold no nested elements and no stack is needed — one lean scan."""
+    tokens = tk.tokenize(html)
+    out: list[str] = []
+    emit = out.append
+    skip_until = None
+    tagfilter = sanitizer.escape_tagfilter
+    for tok in tokens:
+        kind = tok.kind
+        if kind == tk.START_TAG:
+            if skip_until is not None:
+                continue
+            name = tok.name
+            if (
+                tagfilter
+                and name in ESCAPEWORTHY_TAGS
+                and not sanitizer.allow_element(name)
+            ):
+                if not (tok.self_closing or name in VOID_TAGS):
+                    skip_until = name
+                continue
+            emit(tok.raw)
+        elif kind == tk.END_TAG:
+            if skip_until is not None:
+                if tok.name == skip_until:
+                    skip_until = None
+                continue
+            emit(tok.raw)
+        else:  # TEXT / COMMENT / DOCTYPE pass through raw
+            if skip_until is None:
+                emit(tok.raw)
+    return "".join(out)
+
+
+def _sanitize_pass(html, sanitizer) -> str:
+    """Sanitize-only fast path (no user handlers): semantically identical
+    to _run_pass with handlers=[] but without the handler-dispatch / node
+    machinery for trivial kept elements. Stack entries are light 4-lists
+    [orig_name, suppressing, end_raw, after_str] where end_raw: True=emit
+    the end tag raw, False=drop it, or a string to emit instead."""
+    tokens = tk.tokenize(html)
+    out: list[str] = []
+    emit = out.append
+    stack: list[list] = []
+    suppress = 0
+    allow_comments = sanitizer.allow_comments
+    allow_doctype = sanitizer.allow_doctype
+    action_for = sanitizer.action_for
+
+    for tok in tokens:
+        kind = tok.kind
+        if kind == tk.TEXT:
+            if suppress == 0:
+                emit(tok.raw)
+            continue
+
+        if kind == tk.START_TAG:
+            name = tok.name
+            action = action_for(name)
+            void = name in VOID_TAGS
+            no_end = void or tok.self_closing
+
+            if action is None and not tok.attrs and name != "iframe":
+                # kept, untouched: raw passthrough (the common case)
+                if suppress == 0:
+                    emit(tok.raw)
+                if not no_end:
+                    stack.append([name, False, True, None])
+                continue
+
+            if action is not None:
+                remove_contents, wrap_ws = action
+                if remove_contents:
+                    if no_end:
+                        continue  # tag dropped, nothing to suppress
+                    stack.append([name, True, False, None])
+                    suppress += 1
+                else:
+                    if wrap_ws and suppress == 0:
+                        if no_end:
+                            emit(" ")
+                        else:
+                            emit(" ")  # before; after stored below
+                    if not no_end:
+                        stack.append(
+                            [name, False, False, " " if wrap_ws else None]
+                        )
+                continue
+
+            # kept element with attributes (or iframe): full node logic
+    # NB: indentation block continues below via _sanitize_complex
+            node = _Node(tok)
+            _sanitize_element(sanitizer, node)
+            mode = node.removed_mode
+            if mode == "content":  # force-removed via <!-- attr
+                if not no_end:
+                    stack.append([name, True, False, None])
+                    suppress += 1
+                continue
+            if suppress == 0:
+                emit(node.serialize_start())
+                if node.inner_content is not None and not no_end:
+                    emit(node.inner_content)
+            if node.inner_content is not None and not no_end:
+                stack.append([name, True, True, None])
+                suppress += 1
+            elif not no_end:
+                stack.append([name, False, True, None])
+            continue
+
+        if kind == tk.END_TAG:
+            name = tok.name
+            idx = None
+            for k in range(len(stack) - 1, -1, -1):
+                if stack[k][0] == name:
+                    idx = k
+                    break
+            if idx is None:
+                if suppress == 0:
+                    emit(tok.raw)  # orphan end tag passes through
+                continue
+            for entry in stack[idx + 1 :]:
+                if entry[1]:
+                    suppress -= 1
+            closing = stack[idx]
+            del stack[idx:]
+            if closing[1]:
+                suppress -= 1
+            if suppress == 0:
+                if closing[2]:
+                    emit(tok.raw)
+                if closing[3] is not None:
+                    emit(closing[3])
+            continue
+
+        if kind == tk.COMMENT:
+            if allow_comments and suppress == 0:
+                emit(tok.raw)
+            continue
+
+        # DOCTYPE
+        if allow_doctype and suppress == 0:
+            emit(tok.raw)
+
+    return "".join(out)
+
+
+def _run_pass(html, sanitizer, handlers) -> str:
     tokens = tk.tokenize(html)
     out: list[str] = []
     emit = out.append
@@ -433,15 +601,7 @@ def _run_pass(html, sanitizer, handlers, escape_filter=None) -> str:
             node = _Node(tok)
             name = node.orig_name
 
-            if escape_filter is not None:
-                # final-sanitization pass (rewriter.rs:325-354)
-                if (
-                    escape_filter.escape_tagfilter
-                    and name in ESCAPEWORTHY_TAGS
-                    and not escape_filter.allow_element(name)
-                ):
-                    node.removed_mode = "content"
-            elif sanitizer is not None:
+            if sanitizer is not None:
                 _sanitize_element(sanitizer, node)
 
             if handlers:
@@ -556,20 +716,14 @@ def _run_pass(html, sanitizer, handlers, escape_filter=None) -> str:
             continue
 
         if kind == tk.COMMENT:
-            if escape_filter is not None:
-                if suppress == 0:
-                    emit(tok.raw)
-            elif sanitizer is not None and not sanitizer.allow_comments:
+            if sanitizer is not None and not sanitizer.allow_comments:
                 pass  # removed
             elif suppress == 0:
                 emit(tok.raw)
             continue
 
         if kind == tk.DOCTYPE:
-            if escape_filter is not None:
-                if suppress == 0:
-                    emit(tok.raw)
-            elif sanitizer is not None and not sanitizer.allow_doctype:
+            if sanitizer is not None and not sanitizer.allow_doctype:
                 pass
             elif suppress == 0:
                 emit(tok.raw)
@@ -582,8 +736,9 @@ def _sanitize_element(sanitizer: Sanitizer, node: _Node) -> None:
     """Per-element sanitizer step (reference: the element!("*") handler at
     rewriter.rs:284-294 -> try_remove_element + sanitize_attributes)."""
     name = node.tag_name
-    if not node.removed and not sanitizer.allow_element(name):
-        remove_contents, wrap_ws = sanitizer.removal_mode(name)
+    action = sanitizer.action_for(name)
+    if not node.removed and action is not None:
+        remove_contents, wrap_ws = action
         if remove_contents:
             node.removed_mode = "content"
         else:

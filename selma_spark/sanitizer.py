@@ -163,6 +163,7 @@ class Sanitizer:
         "flags", "allowed_attrs", "allowed_classes", "element_allowed_attrs",
         "element_allowed_classes", "protocol_allowlists",
         "escape_tagfilter", "allow_comments", "allow_doctype", "config",
+        "_actions",
     )
 
     def __init__(self, config=None):
@@ -250,6 +251,20 @@ class Sanitizer:
                         )
         self.protocol_allowlists = protocol_allowlists
 
+        # precomputed per-tag removal actions (hot path)
+        from .tags import TAG_NAMES
+        actions = {}
+        for name in TAG_NAMES:
+            if self.flags[tag_index(name)] & ALLOW:
+                actions[name] = None
+            else:
+                actions[name] = self.removal_mode(name)
+        actions["unknown"] = (
+            None if self.flags[tag_index("unknown")] & ALLOW
+            else self.removal_mode("unknown")
+        )
+        self._actions = actions
+
         self.escape_tagfilter = bool(config.get("escape_tagfilter", True))
         self.allow_comments = bool(config.get("allow_comments", False))
         # native default is True when the key is absent (sanitizer.rs:170-173);
@@ -260,6 +275,14 @@ class Sanitizer:
 
     def allow_element(self, tag_lower: str) -> bool:
         return bool(self.flags[tag_index(tag_lower)] & ALLOW)
+
+    def action_for(self, tag_lower: str):
+        """Precomputed removal action: None if the tag is allowed, else
+        (remove_contents, wrap_whitespace) — one dict probe per element."""
+        try:
+            return self._actions[tag_lower]
+        except KeyError:
+            return self._actions["unknown"]
 
     def element_flags(self, tag_lower: str) -> int:
         return self.flags[tag_index(tag_lower)]

@@ -24,6 +24,8 @@ input for ``attribute_source_location``
 
 from __future__ import annotations
 
+import re
+
 from .tags import (
     RAWTEXT_TAGS,
     RCDATA_TAGS,
@@ -31,6 +33,12 @@ from .tags import (
     TEXT_TYPE_PLAIN,
     text_type_for,
 )
+
+# C-speed span scanners (HTML5 charsets; see _WS/_ATTR_NAME_END below)
+_RE_TAG_NAME = re.compile(r"[^\t\n\r\f />]*")
+_RE_WS = re.compile(r"[\t\n\r\f ]*")
+_RE_ATTR_NAME = re.compile(r"[^\t\n\r\f /=>]*")
+_RE_UNQUOTED = re.compile(r"[^\t\n\r\f >]*")
 
 # token kinds
 TEXT = 0
@@ -194,8 +202,7 @@ def _parse_start_tag(html: str, lt: int):
     n = len(html)
     i = lt + 1
     start_name = i
-    while i < n and html[i] not in _TAG_NAME_END:
-        i += 1
+    i = _RE_TAG_NAME.match(html, i).end()
     raw_name = html[start_name:i]
     name = raw_name.lower()
     attrs: list[Attr] = []
@@ -203,8 +210,7 @@ def _parse_start_tag(html: str, lt: int):
     self_closing = False
     while True:
         # before attribute name
-        while i < n and html[i] in _WS_SET:
-            i += 1
+        i = _RE_WS.match(html, i).end()
         if i >= n:
             return None, n
         ch = html[i]
@@ -222,20 +228,17 @@ def _parse_start_tag(html: str, lt: int):
         name_start = i
         if ch == "=":
             i += 1
-        while i < n and html[i] not in _ATTR_NAME_END:
-            i += 1
+        i = _RE_ATTR_NAME.match(html, i).end()
         raw_attr_name = html[name_start:i]
         attr_name = raw_attr_name.lower()
         name_span = (name_start, i)
         # after attribute name
-        while i < n and html[i] in _WS_SET:
-            i += 1
+        i = _RE_WS.match(html, i).end()
         if i >= n:
             return None, n
         if html[i] == "=":
             i += 1
-            while i < n and html[i] in _WS_SET:
-                i += 1
+            i = _RE_WS.match(html, i).end()
             if i >= n:
                 return None, n
             q = html[i]
@@ -249,8 +252,7 @@ def _parse_start_tag(html: str, lt: int):
                 i = vend + 1
             else:
                 vstart = i
-                while i < n and html[i] not in _UNQUOTED_END:
-                    i += 1
+                i = _RE_UNQUOTED.match(html, i).end()
                 value = html[vstart:i]
                 value_span = (vstart, i)
             if attr_name not in seen:
@@ -271,11 +273,9 @@ def _parse_start_tag(html: str, lt: int):
 
 
 def _parse_end_tag(html: str, lt: int):
-    n = len(html)
     i = lt + 2
     start_name = i
-    while i < n and html[i] not in _TAG_NAME_END:
-        i += 1
+    i = _RE_TAG_NAME.match(html, i).end()
     name = html[start_name:i].lower()
     gt = html.find(">", i)
     if gt < 0:
