@@ -402,6 +402,35 @@ SELECT lang, doc_id, n_chars FROM (
 """
 
 
+def q_event_window_rollup(spark, sf_dir):
+    """Tumbling-window rollup over the events table — the batch-semantics
+    twin of streaming.windowed_event_metrics (decimal sums for exact
+    cross-engine equality)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("_s").cast("string").alias("value_sum"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENT_WINDOW = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -534,6 +563,7 @@ def build_queries():
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "largest_docs_by_lang": q_largest_docs_by_lang,
+        "event_window_rollup": q_event_window_rollup,
         "embedding_topk": q_embedding_topk,
         "lsh_buckets": q_lsh_buckets,
         "label_stats": q_label_stats,
@@ -563,6 +593,7 @@ def build_oracles():
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "lang_id": _langid_oracle(),
         "largest_docs_by_lang": ORACLE_LARGEST_DOCS,
+        "event_window_rollup": ORACLE_EVENT_WINDOW,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
         "lsh_buckets": ORACLE_LSH_BUCKETS,
         "label_stats": ORACLE_LABEL_STATS,

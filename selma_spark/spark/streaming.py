@@ -1,0 +1,138 @@
+"""Structured Streaming ingest for the rewrite pipeline.
+
+The reference has no cross-document streaming (its "streaming" is within
+one document); this is the pipeline-added micro-batch ingest path
+(SURVEY.md §2B): new span documents land in a directory (stand-in for an
+Iceberg/queue source), each micro-batch runs the SAME vectorized rewrite
+UDF, and ``foreachBatch`` writes output + lineage transactionally per
+batch — so the streaming and batch paths share one code path and one
+output contract.
+
+Also provides watermarked windowed aggregation over the ``events``
+stream (late-data tolerant throughput metrics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import DOC_SCHEMA
+from .pipeline import make_rewrite_fn
+
+
+def read_document_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream of span documents (parquet files appearing in
+    input_dir). maxFilesPerTrigger bounds micro-batch size the way
+    arrow batch rows bound UDF memory."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def stream_rewrite(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    config="default",
+    handlers_factory=None,
+):
+    """Continuously rewrite arriving documents. Returns the streaming
+    query; callers stop() it or awaitTermination().
+
+    foreachBatch gives exactly-once-per-batch output with the batch id
+    recorded as lineage (restart-safe: Structured Streaming replays the
+    failed batch and the write is idempotent by batch_id directory)."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    stream = read_document_stream(spark, input_dir)
+    rewritten = stream.mapInArrow(
+        make_rewrite_fn(config, handlers_factory), schema=stream.schema
+    )
+
+    out_path = f"{output_dir}/documents"
+    lineage_path = f"{output_dir}/lineage"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        (
+            batch_df.groupBy()
+            .agg(
+                F.lit(int(batch_id)).alias("partition_id"),
+                F.count("*").alias("doc_count"),
+                F.sha2(
+                    F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))), 256
+                ).alias("checksum"),
+                F.lit("ok").alias("status"),
+                F.lit(1).alias("attempt"),
+                F.current_timestamp().alias("ts"),
+            )
+            .select("partition_id", "doc_count", "checksum", "status",
+                    "attempt", "ts")
+            .write.mode("append")
+            .parquet(lineage_path)
+        )
+
+    return (
+        rewritten.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_metrics(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window rollup over the events stream: count +
+    value sum per (window, event_type); late events beyond the watermark
+    are dropped deterministically."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def stream_event_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """File-source events stream -> watermarked windowed aggregation ->
+    append-mode parquet sink (windows finalize when the watermark
+    passes)."""
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    agg = windowed_event_metrics(events)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
