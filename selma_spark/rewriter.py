@@ -234,6 +234,11 @@ class Element:
     def removed(self) -> bool:
         return self._node.removed
 
+    @property
+    def available(self) -> bool:
+        """Ruby sugar `available?` (reference: lib/selma/html/element.rb:5-9)."""
+        return not self._node.removed
+
 
 class TextChunk:
     """Text-chunk facade (reference API:

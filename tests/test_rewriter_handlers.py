@@ -486,3 +486,16 @@ def test_renamed_end_tag_follows():
     h = H(Selector(match_element="div"), element=f)
     assert rewrite("<div>a<span>b</span></div>", h) == \
         "<section>a<span>b</span></section>"
+
+
+def test_available_is_not_removed():
+    seen = []
+
+    def f(s, el):
+        seen.append(el.available)
+        el.remove()
+        seen.append(el.available)
+
+    h = H(Selector(match_element="b"), element=f)
+    rewrite("<b>x</b>", h)
+    assert seen == [True, False]
