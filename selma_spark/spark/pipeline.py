@@ -2,7 +2,7 @@
 
 Spark-first design notes (scale target: 10^12 docs / ~100 TB):
 
-* The document rewrite is a NARROW transformation: scan -> mapInPandas ->
+* The document rewrite is a NARROW transformation: scan -> mapInArrow ->
   sink. Zero shuffles on the hot path; parallelism comes from input
   splits (``spark.sql.files.maxPartitionBytes``), so the plan scales
   linearly with executors — this is what the N->4N scaling-efficiency
@@ -52,7 +52,8 @@ def resolve_config(config):
     return config
 
 
-def make_rewrite_fn(config="default", handlers_factory=None):
+def make_rewrite_fn(config="default", handlers_factory=None,
+                    max_text_bytes=None, on_error="raise"):
     """Build the mapInArrow function: record batches of
     (..., spans, ...) rows in, same schema out. Text spans are rewritten;
     media spans pass through byte-identical with order preserved.
@@ -74,7 +75,23 @@ def make_rewrite_fn(config="default", handlers_factory=None):
             rw = None
         else:
             rewriter = Rewriter(sanitizer=cfg, handlers=handlers or [])
-            rw = rewriter.rewrite
+            base_rw = rewriter.rewrite
+            if on_error == "keep":
+                # per-document containment: a pathological document must
+                # not fail a 10^12-doc job; quarantined docs pass through
+                # unmodified (detectable downstream: output == input)
+                def rw(t, _rw=base_rw):
+                    try:
+                        return _rw(t)
+                    except Exception:
+                        return t
+            else:
+                rw = base_rw
+            if max_text_bytes is not None:
+                # oversized-span quarantine (the reference's memory caps,
+                # rewriter.rs:156-227, re-expressed as a routing decision)
+                def rw(t, _rw=rw, _cap=max_text_bytes):
+                    return t if len(t) > _cap else _rw(t)
         for batch in batches:
             spans_idx = batch.schema.get_field_index("spans")
             lst = batch.column(spans_idx)
@@ -119,13 +136,16 @@ def rewrite_documents(
     docs: DataFrame,
     config="default",
     handlers_factory=None,
+    max_text_bytes=None,
+    on_error="raise",
 ) -> DataFrame:
     """Rewrite every text span of every document. Narrow plan: no shuffle."""
     from .shipping import ensure_shipped
 
     ensure_shipped(docs.sparkSession)
     return docs.mapInArrow(
-        make_rewrite_fn(config, handlers_factory), schema=docs.schema
+        make_rewrite_fn(config, handlers_factory, max_text_bytes, on_error),
+        schema=docs.schema,
     )
 
 

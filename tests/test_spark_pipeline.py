@@ -142,3 +142,37 @@ def test_run_pipeline_writes_and_resumes(spark):
         assert chk1 == chk2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_oversized_docs_quarantined(spark):
+    docs = make_span_docs(spark)
+    inputs = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    out = rewrite_documents(docs, "default", max_text_bytes=10).collect()
+    # every text span longer than the cap passes through byte-identical
+    # (DEFAULT would otherwise strip all its tags)
+    for r in out:
+        for s, orig in zip(r["spans"], inputs[r["doc_id"]]):
+            if s["kind"] == "text" and len(orig["text"] or "") > 10:
+                assert s["text"] == orig["text"]
+
+
+def test_on_error_keep_contains_failures(spark):
+    # a handler that blows up on every element; on_error="keep" must
+    # pass documents through instead of failing the job
+    def boom_handlers():
+        from selma_spark.selector import Selector
+
+        class Boom:
+            def selector(self):
+                return Selector(match_element="*")
+
+            def handle_element(self, el):
+                raise ValueError("boom")
+
+        return [Boom()]
+
+    docs = make_span_docs(spark)
+    out = rewrite_documents(
+        docs, "relaxed", handlers_factory=boom_handlers, on_error="keep"
+    )
+    assert out.count() == docs.count()
