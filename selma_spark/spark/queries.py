@@ -402,6 +402,25 @@ SELECT lang, doc_id, n_chars FROM (
 """
 
 
+def q_golden_sql_udf(spark, sf_dir):
+    """The golden STRINGS corpus through the registered `selma_sanitize`
+    SQL function — pins the SQL-UDF surface to the same reference
+    constants as the pipeline path."""
+    from .functions import register_sql_functions
+
+    register_sql_functions(spark)
+    rows = []
+    for case, data in _golden_cases(STRINGS):
+        for config in _CONFIGS:
+            rows.append((case, config, data["html"]))
+    df = spark.createDataFrame(rows, "case_name string, config string, html string")
+    df.createOrReplaceTempView("golden_inputs")
+    return spark.sql(
+        "SELECT case_name, config, selma_sanitize(html, config) AS output "
+        "FROM golden_inputs ORDER BY case_name, config"
+    )
+
+
 def q_event_window_rollup(spark, sf_dir):
     """Tumbling-window rollup over the events table — the batch-semantics
     twin of streaming.windowed_event_metrics (decimal sums for exact
@@ -451,6 +470,36 @@ SELECT e.vec_id,
            * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
 FROM embeddings e, q WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embedding_topk_lsh(spark, sf_dir):
+    """ANN variant: brute-force restricted to the query's sign-LSH
+    bucket (the candidate-pruning scale path; recall<1 by design but
+    deterministic, so SQL-checkable)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = simsearch.query_vector(spark, emb, 0)
+    return simsearch.topk_cosine_lsh(emb, qv, k=10, exclude_vec_id=0)
+
+
+def _lsh_topk_oracle() -> str:
+    bucket_sql = (
+        "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)"
+        " + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)"
+        " + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+    )
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, {bucket_sql} AS qb
+           FROM embeddings WHERE vec_id = 0),
+c AS (SELECT e.*, q.qe FROM embeddings e, q WHERE {bucket_sql} = q.qb)
+SELECT vec_id,
+  round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+        / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(qe, qe))), 4) AS cosine
+FROM c WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
@@ -564,6 +613,8 @@ def build_queries():
         "lang_id": q_lang_id,
         "largest_docs_by_lang": q_largest_docs_by_lang,
         "event_window_rollup": q_event_window_rollup,
+        "golden_sql_udf": q_golden_sql_udf,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk": q_embedding_topk,
         "lsh_buckets": q_lsh_buckets,
         "label_stats": q_label_stats,
@@ -594,6 +645,8 @@ def build_oracles():
         "lang_id": _langid_oracle(),
         "largest_docs_by_lang": ORACLE_LARGEST_DOCS,
         "event_window_rollup": ORACLE_EVENT_WINDOW,
+        "golden_sql_udf": _golden_oracle(STRINGS),
+        "embedding_topk_lsh": _lsh_topk_oracle(),
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
         "lsh_buckets": ORACLE_LSH_BUCKETS,
         "label_stats": ORACLE_LABEL_STATS,

@@ -74,7 +74,8 @@ def sign_lsh_buckets(embeddings: DataFrame, n_components: int = 4) -> DataFrame:
 
 
 def topk_cosine_lsh(
-    embeddings: DataFrame, query: list[float], k: int = 10, n_components: int = 4
+    embeddings: DataFrame, query: list[float], k: int = 10,
+    n_components: int = 4, exclude_vec_id=None,
 ) -> DataFrame:
     """ANN variant: restrict the brute-force scan to the query's LSH
     bucket (recall < 1.0 by design; the bucket predicate pushes down to
@@ -89,7 +90,7 @@ def topk_cosine_lsh(
             F.element_at("embedding", j + 1) > 0, F.lit(1 << j)
         ).otherwise(F.lit(0))
     candidates = embeddings.where(bucket == qbucket)
-    return topk_cosine(candidates, query, k)
+    return topk_cosine(candidates, query, k, exclude_vec_id=exclude_vec_id)
 
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:
