@@ -108,6 +108,49 @@ def main():
             "efficiency": round(speedup / (big / small), 3),
         }
 
+    # reference-fixture comparison: the reference's own benchmark inputs
+    # (document-sm/md.html) under (a) RELAXED sanitize (its sanitize bench,
+    # README.md:222-241) and (b) its 3 rewrite handlers with sanitizer off
+    # (its rewrite bench, README.md:275-299)
+    fixtures = {}
+    if os.environ.get("SELMA_BENCH_FIXTURES", "1") != "0":
+        from selma_spark.extract import reference_bench_handlers
+        from pyspark.sql import functions as FX
+
+        spark = get_spark(cpus=CPUS, app_name="selma-bench-fixtures",
+                          arrow_batch_rows=256)
+        fdir = "/root/reference/test/benchmark/html"
+        for fname, key in (("document-sm.html", "sm"), ("document-md.html", "md")):
+            with open(f"{fdir}/{fname}", encoding="utf-8", errors="replace") as fh:
+                html = fh.read()
+            n_copies = 2000 if key == "sm" else 600
+            docs = spark.range(n_copies).select(
+                FX.col("id").cast("string").alias("doc_id"),
+                FX.array(FX.struct(
+                    FX.lit("text").alias("kind"),
+                    FX.lit(html).alias("text"),
+                    FX.lit(None).cast("string").alias("media_ref"),
+                    FX.lit(0).cast("int").alias("offset"),
+                )).alias("spans"),
+            ).repartition(4 * CPUS).persist()
+            docs.count()
+            for mode, cfg, hf in (
+                ("sanitize", "relaxed", None),
+                ("rewrite", None, reference_bench_handlers),
+            ):
+                out = rewrite_documents(docs, cfg, handlers_factory=hf)
+                dt, _ = _timed(lambda o=out: o.select(
+                    F.sum(F.aggregate(
+                        "spans", F.lit(0).cast("bigint"),
+                        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+                    ))).collect())
+                fixtures[f"{mode}_{key}"] = {
+                    "docs_per_sec": round(n_copies / dt, 1),
+                    "mb_per_sec": round(n_copies * len(html) / dt / 1e6, 2),
+                }
+            docs.unpersist()
+        spark.stop()
+
     # secondary per-query timings on the big session
     spark = get_spark(cpus=CPUS, app_name="selma-bench-queries")
     for name in (
@@ -133,6 +176,8 @@ def main():
     }
     if scaling is not None:
         result["scaling"] = scaling
+    if fixtures:
+        result["reference_fixtures"] = fixtures
     print(json.dumps(result))
 
 

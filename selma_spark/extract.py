@@ -69,3 +69,53 @@ class TextBreaker:
         if element.tag_name in _BLOCK_TAGS and not element.removed:
             element.append("\n", as_="text")
         element.remove_and_keep_content()
+
+
+class HrefToGopher:
+    """Reference benchmark handler 1 (test/benchmark/selma_config.rb:4-14):
+    rewrite http(s): hrefs to gopher:. (The reference selector is the tag
+    "href" — a quirk preserved there; ours targets a[href] so the handler
+    actually exercises attribute rewriting.)"""
+
+    SELECTOR = Selector(match_element="a[href]")
+
+    def selector(self):
+        return self.SELECTOR
+
+    def handle_element(self, element):
+        href = element["href"]
+        if href and (href.startswith("http:") or href.startswith("https:")):
+            element["href"] = "gopher:" + href.split(":", 1)[1]
+
+
+class SpanTextDup:
+    """Reference benchmark handler 2 (selma_config.rb:16-26): duplicate
+    non-empty span text after the chunk as a <div>."""
+
+    SELECTOR = Selector(match_text_within="span")
+
+    def selector(self):
+        return self.SELECTOR
+
+    def handle_text_chunk(self, text_chunk):
+        content = text_chunk.to_s()
+        if content.strip():
+            text_chunk.after(f"<div>{content}</div>", as_="html")
+
+
+class ImgRemove:
+    """Reference benchmark handler 3 (selma_config.rb:28-38): remove imgs."""
+
+    SELECTOR = Selector(match_element="img")
+
+    def selector(self):
+        return self.SELECTOR
+
+    def handle_element(self, element):
+        element.remove()
+
+
+def reference_bench_handlers():
+    """The reference's rewrite-benchmark handler set
+    (test/benchmark.rb:87-93 runs them with sanitizer: nil)."""
+    return [HrefToGopher(), SpanTextDup(), ImgRemove()]
