@@ -136,3 +136,64 @@ def stream_event_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- custom stateful operator ------------------------------------------------
+
+STATE_SCHEMA = "n_events bigint, value_sum double"
+RUNNING_OUTPUT_SCHEMA = (
+    "event_type string, n_events bigint, value_sum double"
+)
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    """applyInPandasWithState function: per event_type running totals that
+    survive micro-batch boundaries (the custom-stateful-operator shape —
+    arbitrary Python state + arrow-batched input)."""
+    import pandas as pd  # noqa: PLC0415
+
+    if state.exists:
+        n, vs = state.get
+    else:
+        n, vs = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        vs += float(pdf["value"].sum())
+    state.update((n, vs))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n_events": [n], "value_sum": [round(vs, 2)]}
+    )
+
+
+def stream_running_event_totals(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str,
+    query_name: str = "running_totals",
+):
+    """File-source events stream -> stateful per-type running totals via
+    applyInPandasWithState (update mode, in-memory sink for inspection)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    totals = events.groupBy("event_type").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis): robustness and security invariants
+the golden corpus can't enumerate."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from selma_spark import sanitizer as S
+from selma_spark.rewriter import Rewriter
+from selma_spark.tags import ESCAPEWORTHY_TAGS
+from selma_spark.tokenizer import START_TAG, tokenize
+
+# text without surrogates (not valid in interchange)
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+_fragments = st.lists(
+    st.sampled_from([
+        "<div>", "</div>", "<b class='x'>", "</b>", "text ",
+        '<img src="http://a/b">', "<script>alert(1)</script>", "<",
+        ">", "<iframe>", "</iframe>", "<!-- c -->", "<!DOCTYPE html>",
+        "<br/>", "<style>.a{}</style>", "&amp;", "<title>t</title>",
+        "<foo bar>", "</foo>", "1 < 2", "<p id=a>", "</p>",
+        '<a href=" javascript:x">', "<plaintext>", "<xmp>y</xmp>",
+        "<span>", "</span>", "<b ", 'attr="v">', "<meta charset='x'>",
+    ]),
+    max_size=20,
+).map("".join)
+
+
+@given(_text)
+@settings(max_examples=300, deadline=None)
+def test_never_crashes_on_arbitrary_text(s):
+    for cfg in (S.DEFAULT, S.RELAXED):
+        out = Rewriter(sanitizer=cfg).rewrite(s)
+        assert isinstance(out, str)
+
+
+@given(_fragments)
+@settings(max_examples=300, deadline=None)
+def test_escapeworthy_elements_never_survive_default(html):
+    """The GHSA-class invariant: under DEFAULT no escapeworthy element
+    token exists in the output, no matter how malformed the input
+    (including tags materialized by stray-'<' text merging)."""
+    out = Rewriter(sanitizer=S.DEFAULT).rewrite(html)
+    for tok in tokenize(out):
+        if tok.kind == START_TAG:
+            assert tok.name not in ESCAPEWORTHY_TAGS, (html, out)
+
+
+@given(_fragments)
+@settings(max_examples=300, deadline=None)
+def test_disallowed_script_never_survives_relaxed(html):
+    out = Rewriter(sanitizer=S.RELAXED).rewrite(html)
+    for tok in tokenize(out):
+        if tok.kind == START_TAG:
+            # RELAXED allows style/title; script and iframe-of-doom do
+            # not get through
+            assert tok.name not in ("script", "plaintext", "xmp",
+                                    "noembed", "noframes"), (html, out)
+
+
+@given(_fragments)
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_is_lossless_modulo_dropped_constructs(html):
+    """Raw slices must reassemble the input exactly, except for tokenizer-
+    dropped constructs: incomplete tags at EOF, '</>', and lone '<' at
+    EOF. We verify the reassembly is a prefix + the dropped tail."""
+    toks = tokenize(html)
+    joined = "".join(t.raw for t in toks)
+    cleaned = html.replace("</>", "")
+    assert cleaned.startswith(joined)
+    tail = cleaned[len(joined):]
+    # anything dropped must be one trailing incomplete construct
+    assert tail == "" or tail.startswith("<")
+
+
+@given(_fragments)
+@settings(max_examples=150, deadline=None)
+def test_sanitize_only_fast_path_equals_general_vm(html):
+    import selma_spark.rewriter as R
+    from selma_spark.sanitizer import Sanitizer
+
+    for cfg in (S.DEFAULT, S.BASIC, S.RELAXED):
+        san = Sanitizer(cfg)
+        assert R._sanitize_pass(html, san) == R._run_pass(html, san, [])

@@ -91,3 +91,32 @@ def test_stream_event_metrics_end_to_end(spark):
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_running_totals(spark):
+    tmp = tempfile.mkdtemp(prefix="selma_stateful_")
+    try:
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        # several input files so state must survive micro-batch boundaries
+        events.repartition(6).write.parquet(f"{tmp}/in")
+        from selma_spark.spark.streaming import stream_running_event_totals
+
+        q = stream_running_event_totals(
+            spark, f"{tmp}/in", f"{tmp}/ckpt", query_name="rt_test"
+        )
+        q.awaitTermination(120)
+        q.stop()
+        # update-mode memory sink: the LAST row per event_type is the
+        # final running total and must equal the batch aggregate
+        out = spark.sql(
+            "SELECT event_type, max(n_events) AS n FROM rt_test GROUP BY 1"
+        ).collect()
+        got = {r["event_type"]: r["n"] for r in out}
+        want = {
+            r["event_type"]: r["n"]
+            for r in events.groupBy("event_type").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
