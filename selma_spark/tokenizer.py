@@ -34,6 +34,25 @@ from .tags import (
     text_type_for,
 )
 
+# One-shot matcher for the common start-tag shape: simple name, attrs
+# with no whitespace around '=', terminated by '>' or '/>'. Anything it
+# can't express (stray '/', '='-leading names, ws around '=') falls back
+# to the general scanner below. Values starting with a quote that reach
+# the unquoted alternative also fall back (see guard in _parse_start_tag).
+# atomic groups ((?>...)) keep the regex from backtracking into a value
+# choice the sequential scanner would never revisit — without them the
+# engine can "re-parse" a quoted value as unquoted and diverge
+_FAST_TAG = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:[\t\n\r\f ]+[^\t\n\r\f /=>]+"
+    r"(?>=(?>\"[^\"]*\"|'[^']*'|[^\t\n\r\f >]*))?)*)"
+    r"[\t\n\r\f ]*(/?)>"
+)
+_FAST_ATTR = re.compile(
+    r"[\t\n\r\f ]+([^\t\n\r\f /=>]+)"
+    r"(?>=(\"[^\"]*\"|'[^']*'|[^\t\n\r\f >]*))?"
+)
+
 # C-speed span scanners (HTML5 charsets; see _WS/_ATTR_NAME_END below)
 _RE_TAG_NAME = re.compile(r"[^\t\n\r\f />]*")
 _RE_WS = re.compile(r"[\t\n\r\f ]*")
@@ -199,6 +218,57 @@ def _parse_start_tag(html: str, lt: int):
     """Parse a start tag beginning at ``lt`` (html[lt] == '<', next is
     alpha). Returns (Token, next_index) or (None, n) if EOF hit before
     '>' (incomplete tag -> dropped)."""
+    m = _FAST_TAG.match(html, lt + 1)
+    if m is not None:
+        raw_name = m.group(1)
+        attrs: list[Attr] = []
+        if m.group(2):
+            seen: set[str] = set()
+            pos = m.end(1)
+            blob_end = m.start(3) if m.group(3) else m.end(2)
+            while pos < blob_end:
+                am = _FAST_ATTR.match(html, pos, blob_end)
+                if am is None:
+                    break  # structure mismatch: use the general parser
+                aname = am.group(1).lower()
+                val = am.group(2)
+                if val is None:
+                    if aname not in seen:
+                        seen.add(aname)
+                        attrs.append(
+                            Attr(aname, am.group(1), "", False, am.span(1), None)
+                        )
+                else:
+                    c0 = val[:1]
+                    if c0 in ('"', "'"):
+                        if len(val) < 2 or not val.endswith(c0):
+                            break  # quote-led unquoted value: general parser
+                        vs, ve = am.start(2) + 1, am.end(2) - 1
+                        val = val[1:-1]
+                    else:
+                        vs, ve = am.span(2)
+                    if aname not in seen:
+                        seen.add(aname)
+                        attrs.append(
+                            Attr(aname, am.group(1), val, True, am.span(1), (vs, ve))
+                        )
+                pos = am.end()
+            else:
+                pos = blob_end
+            if pos < blob_end:
+                return _parse_start_tag_general(html, lt)
+        end = m.end()
+        return (
+            Token(START_TAG, html[lt:end], name=raw_name.lower(), attrs=attrs,
+                  self_closing=m.group(3) == "/"),
+            end,
+        )
+    return _parse_start_tag_general(html, lt)
+
+
+def _parse_start_tag_general(html: str, lt: int):
+    """General HTML5-flavoured start-tag scanner (handles stray '/',
+    '='-leading attr names, whitespace around '=', unterminated quotes)."""
     n = len(html)
     i = lt + 1
     start_name = i
