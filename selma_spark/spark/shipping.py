@@ -47,3 +47,7 @@ def ensure_shipped(spark) -> None:
         return
     sc.addPyFile(build_pyfiles_zip())
     sc._selma_pyfiles = True
+
+
+if __name__ == "__main__":
+    print(build_pyfiles_zip())
