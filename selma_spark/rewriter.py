@@ -72,7 +72,7 @@ class _Node:
 
     __slots__ = (
         "orig_name", "raw_name", "tag_name", "renamed", "attrs",
-        "_tok_attrs", "explicit_self_closing", "void", "raw",
+        "_tok_attrs", "explicit_self_closing", "void", "_tok",
         "modified", "removed_mode", "suppressing",
         "before_parts", "prepend_parts", "append_parts", "after_parts",
         "inner_content", "text_active", "end_tag_handlers", "end_removed",
@@ -80,7 +80,7 @@ class _Node:
 
     def __init__(self, tok: tk.Token):
         self.orig_name = tok.name
-        self.raw_name = tok.raw[1 : 1 + len(tok.name)]
+        self.raw_name = tok.src[tok.start + 1 : tok.start + 1 + len(tok.name)]
         self.tag_name = tok.name
         self.renamed = False
         # attrs: list of [name_lower, value, has_value]
@@ -88,7 +88,7 @@ class _Node:
         self._tok_attrs = tok.attrs  # attr_locs built lazily
         self.explicit_self_closing = tok.self_closing
         self.void = tok.name in VOID_TAGS
-        self.raw = tok.raw
+        self._tok = tok  # raw sliced lazily (passthrough is range-emitted)
         self.modified = False
         self.removed_mode = None  # None | "content" | "unwrap"
         self.suppressing = False
@@ -119,9 +119,13 @@ class _Node:
             setattr(self, slot, cur)
         cur.append(content)
 
+    @property
+    def raw(self) -> str:
+        return self._tok.raw
+
     def serialize_start(self) -> str:
         if not self.modified and not self.renamed:
-            return self.raw
+            return self._tok.raw
         parts = ["<", self.tag_name if self.renamed else self.raw_name]
         for name, value, has_value in self.attrs:
             if has_value:
@@ -395,11 +399,13 @@ def _final_pass(html, sanitizer) -> str:
     force-remove disallowed escapeworthy tags. All nine escapeworthy tags
     are rawtext/rcdata containers (tags.rs:193-209), so their subtrees
     hold no nested elements and no stack is needed — one lean scan."""
-    tokens = tk.tokenize(html)
+    tokens = tk.tokenize(html, light=True)
     out: list[str] = []
     emit = out.append
     skip_until = None
     tagfilter = sanitizer.escape_tagfilter
+    run_start = -1
+    run_end = -1
     for tok in tokens:
         kind = tok.kind
         if kind == tk.START_TAG:
@@ -414,16 +420,23 @@ def _final_pass(html, sanitizer) -> str:
                 if not (tok.self_closing or name in VOID_TAGS):
                     skip_until = name
                 continue
-            emit(tok.raw)
         elif kind == tk.END_TAG:
             if skip_until is not None:
                 if tok.name == skip_until:
                     skip_until = None
                 continue
-            emit(tok.raw)
         else:  # TEXT / COMMENT / DOCTYPE pass through raw
-            if skip_until is None:
-                emit(tok.raw)
+            if skip_until is not None:
+                continue
+        if tok.start == run_end:
+            run_end = tok.end
+        else:
+            if run_start >= 0:
+                emit(html[run_start:run_end])
+            run_start = tok.start
+            run_end = tok.end
+    if run_start >= 0:
+        emit(html[run_start:run_end])
     return "".join(out)
 
 
@@ -442,11 +455,32 @@ def _sanitize_pass(html, sanitizer) -> str:
     allow_doctype = sanitizer.allow_doctype
     action_for = sanitizer.action_for
 
+    # contiguous passthrough tokens are emitted as ONE source slice
+    run_start = -1
+    run_end = -1
+
+    def keep(tok):
+        nonlocal run_start, run_end
+        if tok.start == run_end:
+            run_end = tok.end
+        else:
+            if run_start >= 0:
+                emit(html[run_start:run_end])
+            run_start = tok.start
+            run_end = tok.end
+
+    def flush():
+        nonlocal run_start, run_end
+        if run_start >= 0:
+            emit(html[run_start:run_end])
+            run_start = -1
+            run_end = -1
+
     for tok in tokens:
         kind = tok.kind
         if kind == tk.TEXT:
             if suppress == 0:
-                emit(tok.raw)
+                keep(tok)
             continue
 
         if kind == tk.START_TAG:
@@ -458,7 +492,7 @@ def _sanitize_pass(html, sanitizer) -> str:
             if action is None and not tok.attrs and name != "iframe":
                 # kept, untouched: raw passthrough (the common case)
                 if suppress == 0:
-                    emit(tok.raw)
+                    keep(tok)
                 if not no_end:
                     stack.append([name, False, True, None])
                 continue
@@ -472,10 +506,8 @@ def _sanitize_pass(html, sanitizer) -> str:
                     suppress += 1
                 else:
                     if wrap_ws and suppress == 0:
-                        if no_end:
-                            emit(" ")
-                        else:
-                            emit(" ")  # before; after stored below
+                        flush()
+                        emit(" ")  # before (void: the single space)
                     if not no_end:
                         stack.append(
                             [name, False, False, " " if wrap_ws else None]
@@ -483,7 +515,6 @@ def _sanitize_pass(html, sanitizer) -> str:
                 continue
 
             # kept element with attributes (or iframe): full node logic
-    # NB: indentation block continues below via _sanitize_complex
             node = _Node(tok)
             _sanitize_element(sanitizer, node)
             mode = node.removed_mode
@@ -493,9 +524,13 @@ def _sanitize_pass(html, sanitizer) -> str:
                     suppress += 1
                 continue
             if suppress == 0:
-                emit(node.serialize_start())
-                if node.inner_content is not None and not no_end:
-                    emit(node.inner_content)
+                if node.modified or node.inner_content is not None:
+                    flush()
+                    emit(node.serialize_start())
+                    if node.inner_content is not None and not no_end:
+                        emit(node.inner_content)
+                else:
+                    keep(tok)
             if node.inner_content is not None and not no_end:
                 stack.append([name, True, True, None])
                 suppress += 1
@@ -512,7 +547,7 @@ def _sanitize_pass(html, sanitizer) -> str:
                     break
             if idx is None:
                 if suppress == 0:
-                    emit(tok.raw)  # orphan end tag passes through
+                    keep(tok)  # orphan end tag passes through
                 continue
             for entry in stack[idx + 1 :]:
                 if entry[1]:
@@ -523,20 +558,22 @@ def _sanitize_pass(html, sanitizer) -> str:
                 suppress -= 1
             if suppress == 0:
                 if closing[2]:
-                    emit(tok.raw)
+                    keep(tok)
                 if closing[3] is not None:
+                    flush()
                     emit(closing[3])
             continue
 
         if kind == tk.COMMENT:
             if allow_comments and suppress == 0:
-                emit(tok.raw)
+                keep(tok)
             continue
 
         # DOCTYPE
         if allow_doctype and suppress == 0:
-            emit(tok.raw)
+            keep(tok)
 
+    flush()
     return "".join(out)
 
 

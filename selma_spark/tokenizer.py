@@ -94,22 +94,35 @@ class Attr:
 
 
 class Token:
-    __slots__ = ("kind", "raw", "name", "attrs", "self_closing", "text_type")
+    """One token. Carries (start, end) offsets into the source string;
+    ``raw`` slices lazily — passthrough paths emit contiguous source
+    ranges instead of materializing per-token strings."""
 
-    def __init__(self, kind, raw, name=None, attrs=None, self_closing=False,
-                 text_type=TEXT_TYPE_DATA):
+    __slots__ = ("kind", "src", "start", "end", "name", "attrs",
+                 "self_closing", "text_type")
+
+    def __init__(self, kind, src, start, end, name=None, attrs=None,
+                 self_closing=False, text_type=TEXT_TYPE_DATA):
         self.kind = kind
-        self.raw = raw
+        self.src = src
+        self.start = start
+        self.end = end
         self.name = name          # lowercase tag name for START/END
         self.attrs = attrs        # list[Attr] for START
         self.self_closing = self_closing  # explicit "/>" only
         self.text_type = text_type
 
+    @property
+    def raw(self) -> str:
+        return self.src[self.start:self.end]
+
     def __repr__(self):  # pragma: no cover - debug aid
         return f"Token({self.kind}, {self.raw!r}, name={self.name!r})"
 
 
-def tokenize(html: str) -> list[Token]:
+def tokenize(html: str, light: bool = False) -> list[Token]:
+    """light=True skips attribute materialization (used by passes that
+    only need tag names/boundaries, e.g. the final sanitization pass)."""
     tokens: list[Token] = []
     append = tokens.append
     n = len(html)
@@ -121,24 +134,24 @@ def tokenize(html: str) -> list[Token]:
     while i < n:
         lt = find("<", i)
         if lt < 0:
-            append(Token(TEXT, html[i:]))
+            append(Token(TEXT, html, i, n))
             break
         if lt > i:
-            append(Token(TEXT, html[i:lt]))
+            append(Token(TEXT, html, i, lt))
         j = lt + 1
         if j >= n:
             # lone "<" at EOF: incomplete token, dropped
             break
         c = html[j]
         if c in _ASCII_ALPHA:
-            tok, i = _parse_start_tag(html, lt)
+            tok, i = _parse_start_tag(html, lt, light)
             if tok is None:
                 break  # incomplete tag at EOF -> dropped
             append(tok)
             mode_tag = tok.name
             if mode_tag == "plaintext":
                 if i < n:
-                    append(Token(TEXT, html[i:], text_type=TEXT_TYPE_PLAIN))
+                    append(Token(TEXT, html, i, n, text_type=TEXT_TYPE_PLAIN))
                 break
             if not tok.self_closing and (
                 mode_tag == "script"
@@ -164,65 +177,65 @@ def tokenize(html: str) -> list[Token]:
                 # bogus comment "</ ..."
                 gt = find(">", k)
                 if gt < 0:
-                    append(Token(COMMENT, html[lt:]))
+                    append(Token(COMMENT, html, lt, n))
                     break
-                append(Token(COMMENT, html[lt : gt + 1]))
+                append(Token(COMMENT, html, lt, gt + 1))
                 i = gt + 1
         elif c == "!":
             if html.startswith("--", j + 1):
                 # comment; HTML5 allows the abrupt "<!-->" / "<!--->"
                 body_start = j + 3
                 if html.startswith(">", body_start):
-                    append(Token(COMMENT, html[lt : body_start + 1]))
+                    append(Token(COMMENT, html, lt, body_start + 1))
                     i = body_start + 1
                     continue
                 if html.startswith("->", body_start):
-                    append(Token(COMMENT, html[lt : body_start + 2]))
+                    append(Token(COMMENT, html, lt, body_start + 2))
                     i = body_start + 2
                     continue
                 close = find("-->", body_start)
                 if close < 0:
-                    append(Token(COMMENT, html[lt:]))
+                    append(Token(COMMENT, html, lt, n))
                     break
-                append(Token(COMMENT, html[lt : close + 3]))
+                append(Token(COMMENT, html, lt, close + 3))
                 i = close + 3
             elif html[j + 1 : j + 8].lower() == "doctype":
                 gt = find(">", j)
                 if gt < 0:
-                    append(Token(DOCTYPE, html[lt:]))
+                    append(Token(DOCTYPE, html, lt, n))
                     break
-                append(Token(DOCTYPE, html[lt : gt + 1]))
+                append(Token(DOCTYPE, html, lt, gt + 1))
                 i = gt + 1
             else:
                 gt = find(">", j)
                 if gt < 0:
-                    append(Token(COMMENT, html[lt:]))
+                    append(Token(COMMENT, html, lt, n))
                     break
-                append(Token(COMMENT, html[lt : gt + 1]))
+                append(Token(COMMENT, html, lt, gt + 1))
                 i = gt + 1
         elif c == "?":
             gt = find(">", j)
             if gt < 0:
-                append(Token(COMMENT, html[lt:]))
+                append(Token(COMMENT, html, lt, n))
                 break
-            append(Token(COMMENT, html[lt : gt + 1]))
+            append(Token(COMMENT, html, lt, gt + 1))
             i = gt + 1
         else:
             # literal "<" text; continue scanning after it
-            append(Token(TEXT, "<"))
+            append(Token(TEXT, html, lt, j))
             i = j
     return tokens
 
 
-def _parse_start_tag(html: str, lt: int):
+def _parse_start_tag(html: str, lt: int, light: bool = False):
     """Parse a start tag beginning at ``lt`` (html[lt] == '<', next is
     alpha). Returns (Token, next_index) or (None, n) if EOF hit before
-    '>' (incomplete tag -> dropped)."""
+    '>' (incomplete tag -> dropped). light skips Attr materialization."""
     m = _FAST_TAG.match(html, lt + 1)
     if m is not None:
         raw_name = m.group(1)
         attrs: list[Attr] = []
-        if m.group(2):
+        if m.group(2) and not light:
             seen: set[str] = set()
             pos = m.end(1)
             blob_end = m.start(3) if m.group(3) else m.end(2)
@@ -259,7 +272,7 @@ def _parse_start_tag(html: str, lt: int):
                 return _parse_start_tag_general(html, lt)
         end = m.end()
         return (
-            Token(START_TAG, html[lt:end], name=raw_name.lower(), attrs=attrs,
+            Token(START_TAG, html, lt, end, name=raw_name.lower(), attrs=attrs,
                   self_closing=m.group(3) == "/"),
             end,
         )
@@ -337,7 +350,8 @@ def _parse_start_tag_general(html: str, lt: int):
                     Attr(attr_name, raw_attr_name, "", False, name_span, None)
                 )
     return (
-        Token(START_TAG, html[lt:i], name=name, attrs=attrs, self_closing=self_closing),
+        Token(START_TAG, html, lt, i, name=name, attrs=attrs,
+              self_closing=self_closing),
         i,
     )
 
@@ -349,8 +363,8 @@ def _parse_end_tag(html: str, lt: int):
     name = html[start_name:i].lower()
     gt = html.find(">", i)
     if gt < 0:
-        return None, n
-    return Token(END_TAG, html[lt : gt + 1], name=name), gt + 1
+        return None, len(html)
+    return Token(END_TAG, html, lt, gt + 1, name=name), gt + 1
 
 
 def _consume_rawtext(html: str, hlow: str, i: int, tag: str, append) -> int:
@@ -366,11 +380,11 @@ def _consume_rawtext(html: str, hlow: str, i: int, tag: str, append) -> int:
         p = hlow.find(needle, pos)
         if p < 0:
             if i < n:
-                append(Token(TEXT, html[i:], text_type=ttype))
+                append(Token(TEXT, html, i, n, text_type=ttype))
             return n
         after = p + len(needle)
         if after >= n or html[after] in _TAG_NAME_END:
             if p > i:
-                append(Token(TEXT, html[i:p], text_type=ttype))
+                append(Token(TEXT, html, i, p, text_type=ttype))
             return p
         pos = after
