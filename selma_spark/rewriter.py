@@ -30,6 +30,8 @@ keeps untouched elements byte-identical).
 
 from __future__ import annotations
 
+import re
+
 from . import tokenizer as tk
 from .sanitizer import (
     DEFAULT,
@@ -334,6 +336,20 @@ class Rewriter:
         if sanitizer is None and not self.handlers:
             raise ValueError("Must provide a sanitizer or a handler")
 
+        # Config-aware gate for the second parse: only escapeworthy tags
+        # the sanitizer DISALLOWS can make the final pass non-identity
+        # (reference rewriter.rs:325-354 re-parses unconditionally; an
+        # allowed <title>/<style> in the output cannot be removed there).
+        self._final_gate_re = None
+        if sanitizer is not None and sanitizer.escape_tagfilter:
+            disallowed = sorted(
+                t for t in ESCAPEWORTHY_TAGS if not sanitizer.allow_element(t)
+            )
+            if disallowed:
+                self._final_gate_re = re.compile(
+                    "<(?:%s)" % "|".join(disallowed), re.IGNORECASE
+                )
+
         self.max_allowed_memory_usage = None
         self.preallocated_parsing_buffer_size = None
         if options:
@@ -368,23 +384,21 @@ class Rewriter:
             out = _run_pass(html, self.sanitizer, self.handlers)
         else:
             out = _sanitize_pass(html, self.sanitizer)
-        if self.sanitizer is not None and _needs_final_pass(out):
+        if self.sanitizer is not None and _needs_final_pass(
+            out, self._final_gate_re
+        ):
             out = _final_pass(out, self.sanitizer)
         return out
 
 
-_ESCAPEWORTHY_RE = __import__("re").compile(
-    r"<(?:title|textarea|style|xmp|iframe|noembed|noframes|script|plaintext)",
-    __import__("re").IGNORECASE,
-)
-
-
-def _needs_final_pass(out: str) -> bool:
+def _needs_final_pass(out: str, gate_re) -> bool:
     """The second parse (reference rewriter.rs:323-354) only (a) removes
-    disallowed escapeworthy elements and (b) drops incomplete trailing
-    tokens; when neither can apply the pass is an identity and is skipped
-    (the reference always re-parses — pure overhead we avoid)."""
-    if _ESCAPEWORTHY_RE.search(out):
+    escapeworthy elements the config disallows and (b) drops incomplete
+    trailing tokens; when neither can apply the pass is an identity and
+    is skipped (the reference always re-parses — pure overhead we avoid).
+    ``gate_re`` matches only the escapeworthy tags this sanitizer
+    disallows (None when tagfilter is off or all nine are allowed)."""
+    if gate_re is not None and gate_re.search(out):
         return True
     lt = out.rfind("<")
     return lt >= 0 and out.find(">", lt) < 0
