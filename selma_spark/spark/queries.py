@@ -379,6 +379,58 @@ def _langid_oracle() -> str:
     )
 
 
+def q_rolling_fingerprints(spark, sf_dir):
+    return textops.rolling_fingerprints(load(spark, sf_dir, "documents"))
+
+
+# literal coefficients = 131^4..131^0, modulus 1000003, window 5,
+# selection hash % 16 == 0 — identical int64 arithmetic to the Spark plan
+ORACLE_ROLLING_FP = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN length(coalesce(text, '')) >= 5 THEN
+      list_transform(range(1, length(coalesce(text, '')) - 3),
+        i -> (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 294499921
+            + ascii(substr(text, i + 1, 1)) * 2248091
+            + ascii(substr(text, i + 2, 1)) * 17161
+            + ascii(substr(text, i + 3, 1)) * 131
+            + ascii(substr(text, i + 4, 1))) % 1000003)
+    ELSE [] END AS hashes
+  FROM documents)
+SELECT doc_id, len(hashes) AS n_windows,
+       len(list_filter(hashes, x -> x % 16 = 0)) AS n_fp,
+       list_min(list_filter(hashes, x -> x % 16 = 0)) AS min_fp,
+       list_max(list_filter(hashes, x -> x % 16 = 0)) AS max_fp
+FROM h ORDER BY doc_id
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return simsearch.near_dup_cosine(load(spark, sf_dir, "embeddings"))
+
+
+def _near_dup_cosine_oracle() -> str:
+    bucket_sql = (
+        "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)"
+        " + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)"
+        " + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  {bucket_sql} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_dot_product(a.emb, b.emb)
+        / (sqrt(list_dot_product(a.emb, a.emb))
+           * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+        / (sqrt(list_dot_product(a.emb, a.emb))
+           * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.4
+ORDER BY cosine DESC, vec_a, vec_b
+"""
+
+
 def q_largest_docs_by_lang(spark, sf_dir):
     """Window/top-k: 3 largest documents per language (skew report)."""
     from pyspark.sql.window import Window
@@ -612,6 +664,8 @@ def build_queries():
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "largest_docs_by_lang": q_largest_docs_by_lang,
+        "rolling_fingerprints": q_rolling_fingerprints,
+        "embedding_near_dup": q_embedding_near_dup,
         "event_window_rollup": q_event_window_rollup,
         "golden_sql_udf": q_golden_sql_udf,
         "embedding_topk_lsh": q_embedding_topk_lsh,
@@ -644,6 +698,8 @@ def build_oracles():
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "lang_id": _langid_oracle(),
         "largest_docs_by_lang": ORACLE_LARGEST_DOCS,
+        "rolling_fingerprints": ORACLE_ROLLING_FP,
+        "embedding_near_dup": _near_dup_cosine_oracle(),
         "event_window_rollup": ORACLE_EVENT_WINDOW,
         "golden_sql_udf": _golden_oracle(STRINGS),
         "embedding_topk_lsh": _lsh_topk_oracle(),

@@ -106,3 +106,44 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _bucket_expr(n_components: int = 4):
+    bucket = F.lit(0)
+    for j in range(n_components):
+        bucket = bucket + F.when(
+            F.element_at("embedding", j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def near_dup_cosine(
+    embeddings: DataFrame, threshold: float = 0.4, n_components: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
+    are generated only within a sign-LSH bucket (equi-join on bucket —
+    a hash-partitioned join at scale, never an all-pairs cross join),
+    then exact cosine filters the pairs. On a real corpus the threshold
+    sits near 0.95; the synthetic testdata embeddings are random, so the
+    demo threshold is 0.4 (max observed in-bucket cosine ≈ 0.51)."""
+    e = embeddings.select(
+        _bucket_expr(n_components).alias("bucket"), "vec_id", "embedding"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+    )

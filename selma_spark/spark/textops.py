@@ -200,3 +200,45 @@ def lang_id_ngram(documents: DataFrame) -> DataFrame:
             "pred_lang"
         ),
     ).orderBy("doc_id")
+
+
+# Rabin-Karp rolling-hash fingerprinting (w=5 char windows, base 131,
+# modulus 1000003, winnowing-style selection hash % 16 == 0). The
+# polynomial is written with literal coefficients so the DuckDB oracle
+# computes the exact same int64 arithmetic.
+_RK_COEFFS = (294499921, 2248091, 17161, 131, 1)  # 131^4 .. 131^0
+_RK_MOD = 1000003
+_RK_W = 5
+
+
+def _rk_hash(text_col, i):
+    """Polynomial hash of the w-char window starting at 1-based pos i."""
+    total = None
+    for j, coeff in enumerate(_RK_COEFFS):
+        term = F.ascii(F.substring(text_col, i + F.lit(j), 1)).cast(
+            "bigint"
+        ) * F.lit(coeff)
+        total = term if total is None else total + term
+    return total % F.lit(_RK_MOD)
+
+
+def rolling_fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting via a Rabin-Karp rolling hash: every
+    w-char window is hashed, windows whose hash % 16 == 0 are the
+    document's fingerprints (winnowing-style sparse selection). All
+    JVM-side higher-order array functions — one narrow pass, no shuffle
+    until the final presentation orderBy."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(text)
+    positions = F.when(
+        n >= _RK_W, F.sequence(F.lit(1), n - F.lit(_RK_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(positions, lambda i: _rk_hash(text, i))
+    fps = F.filter(hashes, lambda h: h % 16 == 0)
+    return documents.select(
+        "doc_id",
+        F.size(hashes).alias("n_windows"),
+        F.size(fps).alias("n_fp"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    ).orderBy("doc_id")
