@@ -153,6 +153,11 @@ def main():
 
     # secondary per-query timings on the big session
     spark = get_spark(cpus=CPUS, app_name="selma-bench-queries")
+    # NOTE: the dedup-before-rewrite variants (pipeline.rewrite_documents_
+    # memo / _dedup) are deliberately NOT benched here — bench_spans salts
+    # every replica's text (replicas are distinct payloads), so a dedup
+    # pass cannot help on this corpus and timing it would be noise. They
+    # are pinned for correctness in tests/test_spark_pipeline.py.
     for name in (
         "sanitize_default_roundtrip",
         "dedup_exact",

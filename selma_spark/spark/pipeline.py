@@ -53,7 +53,7 @@ def resolve_config(config):
 
 
 def make_rewrite_fn(config="default", handlers_factory=None,
-                    max_text_bytes=None, on_error="raise"):
+                    max_text_bytes=None, on_error="raise", memo_bc=None):
     """Build the mapInArrow function: record batches of
     (..., spans, ...) rows in, same schema out. Text spans are rewritten;
     media spans pass through byte-identical with order preserved.
@@ -102,12 +102,26 @@ def make_rewrite_fn(config="default", handlers_factory=None,
             texts = values.field("text")
             is_text = kinds.to_pylist()
             old_texts = texts.to_pylist()
-            new_texts = [
-                rw(t)
-                if (rw is not None and k == "text" and t and "<" in t)
-                else t
-                for k, t in zip(is_text, old_texts)
-            ]
+            if memo_bc is not None:
+                memo_get = memo_bc.value.get
+
+                def look(t, _get=memo_get, _rw=rw):
+                    v = _get(t)
+                    return _rw(t) if v is None else v
+
+                new_texts = [
+                    look(t)
+                    if (rw is not None and k == "text" and t and "<" in t)
+                    else t
+                    for k, t in zip(is_text, old_texts)
+                ]
+            else:
+                new_texts = [
+                    rw(t)
+                    if (rw is not None and k == "text" and t and "<" in t)
+                    else t
+                    for k, t in zip(is_text, old_texts)
+                ]
             struct_type = lst.type.value_type
             new_values = pa.StructArray.from_arrays(
                 [
@@ -146,6 +160,179 @@ def rewrite_documents(
     return docs.mapInArrow(
         make_rewrite_fn(config, handlers_factory, max_text_bytes, on_error),
         schema=docs.schema,
+    )
+
+
+def rewrite_documents_memo(
+    docs: DataFrame,
+    config="default",
+    handlers_factory=None,
+    max_text_bytes=None,
+    on_error="raise",
+    max_distinct: int = 2_000_000,
+    max_memo_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Dedup-before-rewrite, broadcast flavor: rewrite each DISTINCT text
+    payload once in a small side job, broadcast the text->output dict,
+    and keep the main pass NARROW (mapInArrow lookup; zero shuffle of
+    the corpus). Same output as rewrite_documents.
+
+    This is the right shape when the distinct-payload set is bounded
+    (boilerplate-heavy web corpora: nav/footer/template spans repeat
+    millions of times). The distinct set must fit in executor memory —
+    enforced by ``max_distinct``; above it, falls back to
+    rewrite_documents_dedup (join-based, unbounded cardinality)."""
+    spark = docs.sparkSession
+    # ONE corpus scan collects the (bounded) distinct payload set; the
+    # limit caps driver memory — overflow falls back to the join variant
+    distinct_pdf = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "text")
+        .select(F.col("s.text").alias("text"))
+        .where(F.col("text").isNotNull() & F.col("text").contains("<"))
+        .distinct()
+        .limit(max_distinct + 1)
+        .toPandas()
+    )
+    if (
+        len(distinct_pdf) > max_distinct
+        or int(distinct_pdf["text"].str.len().sum()) > max_memo_bytes
+    ):
+        return rewrite_documents_dedup(
+            docs, config, handlers_factory, max_text_bytes, on_error
+        )
+    # rewrite the distinct payloads in a small local-data job (no second
+    # corpus scan), keyed by position
+    wrapped = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(distinct_pdf["text"])],
+        "doc_id string, text string",
+    ).select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out_by_key = (
+        rewrite_documents(
+            wrapped, config, handlers_factory, max_text_bytes, on_error
+        )
+        .select("doc_id", F.element_at("spans", 1)["text"].alias("out"))
+        .toPandas()
+        .set_index("doc_id")["out"]
+    )
+    memo_bc = spark.sparkContext.broadcast(
+        {
+            t: out_by_key[str(i)]
+            for i, t in enumerate(distinct_pdf["text"])
+        }
+    )
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return docs.mapInArrow(
+        make_rewrite_fn(config, handlers_factory, max_text_bytes, on_error,
+                        memo_bc=memo_bc),
+        schema=docs.schema,
+    )
+
+
+def rewrite_documents_dedup(
+    docs: DataFrame,
+    config="default",
+    handlers_factory=None,
+    max_text_bytes=None,
+    on_error="raise",
+) -> DataFrame:
+    """Rewrite with distinct-payload elimination: rewrite each DISTINCT
+    text span once, hash-join the results back, reassemble spans in
+    offset order. Same output as rewrite_documents (span-sequence
+    equality; pinned by tests/test_spark_pipeline.py).
+
+    Trade-off vs the narrow path: +2 shuffles (distinct + join +
+    reassembly groupBy) in exchange for running the Python rewrite once
+    per distinct payload. On web corpora (20-40% exact-dup pages,
+    boilerplate-heavy) the Python pass dominates end-to-end cost by
+    10-50x per byte, so this wins whenever the dup ratio is
+    non-trivial; on an all-unique corpus it only costs the shuffles.
+    The join key is md5(text) (not the text itself) so shuffle rows
+    stay narrow."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    span_t = docs.schema["spans"].dataType.elementType
+
+    ex = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select("doc_id", "pos", F.col("s.*"))
+    text_rows = ex.where(F.col("kind") == "text").withColumn(
+        "_h", F.md5(F.coalesce("text", F.lit("")))
+    )
+
+    distinct = text_rows.select("_h", "text").groupBy("_h").agg(
+        F.first("text").alias("text")
+    )
+    # run the distinct payloads through the SAME arrow UDF (wrapped as
+    # single-span docs so the fast paths/quarantine behavior match)
+    wrapped = distinct.select(
+        F.col("_h").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    rewritten = rewrite_documents(
+        wrapped, config, handlers_factory, max_text_bytes, on_error
+    ).select(
+        F.col("doc_id").alias("_h"),
+        F.element_at("spans", 1)["text"].alias("_out_text"),
+    )
+
+    new_text = (
+        text_rows.join(rewritten, "_h")
+        .select(
+            "doc_id", "pos", "kind",
+            F.col("_out_text").alias("text"),
+            "media_ref", "offset",
+        )
+    )
+    media_rows = ex.where(F.col("kind") != "text")
+    all_rows = new_text.unionByName(media_rows)
+    reassembled = (
+        all_rows.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.struct("kind", "text", "media_ref", "offset").alias("s"),
+                        )
+                    )
+                ),
+                lambda e: e["s"],
+            )
+            .cast(f"array<{span_t.simpleString()}>")
+            .alias("spans"),
+        )
+    )
+    # docs with zero spans still round-trip (left join back to the keys)
+    keys = docs.select("doc_id", *[c for c in docs.columns if c not in ("doc_id", "spans")])
+    return keys.join(reassembled, "doc_id", "left").select(
+        *[
+            F.coalesce("spans", F.array().cast(f"array<{span_t.simpleString()}>")).alias("spans")
+            if c == "spans"
+            else c
+            for c in docs.columns
+        ]
     )
 
 

@@ -176,3 +176,49 @@ def test_on_error_keep_contains_failures(spark):
         docs, "relaxed", handlers_factory=boom_handlers, on_error="keep"
     )
     assert out.count() == docs.count()
+
+
+def test_dedup_rewrite_matches_direct_path(spark):
+    """rewrite_documents_dedup (distinct-payload elimination) must produce
+    span-sequence equality (kind, text, media_ref, order) with the narrow
+    per-document path on a corpus with duplicate texts."""
+    from selma_spark.spark.pipeline import rewrite_documents_dedup
+
+    base = interleaved_spans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    # replicate so distinct-elimination actually has duplicates to elide
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("_copy")))
+    )
+    direct = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in rewrite_documents(docs, "relaxed").collect()
+    }
+    dedup = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in rewrite_documents_dedup(docs, "relaxed").collect()
+    }
+    assert direct == dedup
+
+
+def test_memo_rewrite_matches_direct_path(spark):
+    """Broadcast-memo dedup variant (and its join-based fallback) must
+    match the narrow path span-for-span."""
+    from selma_spark.spark.pipeline import rewrite_documents_memo
+
+    base = interleaved_spans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("_copy")))
+    )
+    direct = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in rewrite_documents(docs, "relaxed").collect()
+    }
+    memo = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in rewrite_documents_memo(docs, "relaxed").collect()
+    }
+    assert direct == memo
