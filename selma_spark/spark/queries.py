@@ -379,6 +379,19 @@ def _langid_oracle() -> str:
     )
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    return textops.token_counts_bpe(load(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_COUNTS_BPE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(coalesce(text, ''),
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_rolling_fingerprints(spark, sf_dir):
     return textops.rolling_fingerprints(load(spark, sf_dir, "documents"))
 
@@ -664,6 +677,7 @@ def build_queries():
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "largest_docs_by_lang": q_largest_docs_by_lang,
+        "token_counts_bpe": q_token_counts_bpe,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_near_dup": q_embedding_near_dup,
         "event_window_rollup": q_event_window_rollup,
@@ -698,6 +712,7 @@ def build_oracles():
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "lang_id": _langid_oracle(),
         "largest_docs_by_lang": ORACLE_LARGEST_DOCS,
+        "token_counts_bpe": ORACLE_TOKEN_COUNTS_BPE,
         "rolling_fingerprints": ORACLE_ROLLING_FP,
         "embedding_near_dup": _near_dup_cosine_oracle(),
         "event_window_rollup": ORACLE_EVENT_WINDOW,

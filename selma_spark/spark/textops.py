@@ -242,3 +242,23 @@ def rolling_fingerprints(documents: DataFrame) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     ).orderBy("doc_id")
+
+
+# GPT-2-style pre-tokenizer regex, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): ordered
+# alternation, explicit ASCII classes (no \s, whose definition differs
+# between the engines).
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+
+
+def token_counts_bpe(documents: DataFrame) -> DataFrame:
+    """Token counting, BPE-ish: whitespace-split count plus a GPT-2-style
+    regex token count (letters / digits / punctuation runs with optional
+    leading space). Pure JVM regex — one narrow pass."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_ws_tokens"),
+        F.regexp_count(F.coalesce("text", F.lit("")), F.lit(BPE_TOKEN_RE)).alias(
+            "n_bpe_tokens"
+        ),
+    ).orderBy("doc_id")
