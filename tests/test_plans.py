@@ -1,0 +1,87 @@
+"""Physical-plan audits: the scale claims (pushdown, pruning, narrow
+rewrite, top-k) asserted against Catalyst's actual output, not prose.
+
+These pin the properties that matter at 100 TB:
+* filters reach the parquet scan (PushedFilters),
+* projections prune the read schema (ReadSchema),
+* the rewrite pipeline is a narrow plan (zero Exchange),
+* top-k compiles to TakeOrderedAndProject (no global sort).
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from selma_spark.spark import queries as q
+from selma_spark.spark.pipeline import rewrite_documents
+from selma_spark.spark import textops, simsearch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("selma-plan-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = q.load(spark, SF_DIR, "documents").where(F.col("lang") == "en")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan.replace(" ", "")
+
+
+def test_column_pruning_in_read_schema(spark):
+    # token_counts touches doc_id + text only; the scan must not read
+    # lang/source/n_chars
+    df = textops.token_counts(q.load(spark, SF_DIR, "documents"))
+    plan = plan_of(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    assert "doc_id" in line and "text" in line
+    assert "n_chars" not in line and "source" not in line
+
+
+def test_rewrite_pipeline_is_narrow(spark):
+    # the flagship rewrite is mapInArrow over the scan: ZERO shuffles
+    docs = q.spans_df(spark, SF_DIR)
+    out = rewrite_documents(docs, "relaxed")
+    plan = plan_of(out, mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    emb = q.load(spark, SF_DIR, "embeddings")
+    qv = simsearch.query_vector(spark, emb, 0)
+    df = simsearch.topk_cosine(emb, qv, k=10, exclude_vec_id=0)
+    plan = plan_of(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_exact_dedup_has_partial_aggregation(spark):
+    # groupBy(md5) must plan a map-side partial HashAggregate before the
+    # exchange (one shuffle total)
+    df = textops.dedup_exact(q.load(spark, SF_DIR, "documents"))
+    plan = plan_of(df, mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    # exactly one exchange for the aggregation (plus possibly one for the
+    # presentation sort)
+    assert plan.count("Exchange") <= 2, plan
