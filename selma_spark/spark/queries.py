@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..golden import PROTOCOLS, STRINGS
-from . import simsearch, textops
+from . import layout, simsearch, textops
 from .datagen import bench_spans, interleaved_spans
 from .multimodal import media_features, media_manifest
 from .pipeline import rewrite_documents, rewritten_text
@@ -392,6 +392,38 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_layout_reading_order(spark, sf_dir):
+    """PDF/layout-parse leg: mapInPandas block parse (stub parser,
+    deterministic fake layout) -> reading-order span assembly."""
+    docs = load(spark, sf_dir, "documents")
+    spans = layout.reading_order_spans(layout.layout_blocks(docs))
+    return spans.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("spans").alias("n_blocks"),
+        F.array_join(
+            F.transform("spans", lambda s: F.coalesce(s["text"], s["media_ref"])),
+            "|",
+        ).alias("reading_order"),
+    ).orderBy("doc_id")
+
+
+ORACLE_LAYOUT_READING_ORDER = """
+WITH b AS (
+  SELECT d.doc_id, CAST(u.j AS BIGINT) AS j,
+         CAST(u.j // 2 AS BIGINT) AS page_no,
+         (u.j * 37 + d.doc_id) % 100 AS y,
+         (u.j * 53 + d.doc_id) % 50 AS x
+  FROM documents d, UNNEST(range(0, 3 + d.doc_id % 3)) AS u(j))
+SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+  string_agg(
+    CASE WHEN (doc_id + j) % 5 = 0
+         THEN 'media://' || doc_id || '/p' || page_no || 'b' || j
+         ELSE 'block ' || j || ' of ' || doc_id END,
+    '|' ORDER BY page_no, y, x, j) AS reading_order
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_rolling_fingerprints(spark, sf_dir):
     return textops.rolling_fingerprints(load(spark, sf_dir, "documents"))
 
@@ -678,6 +710,7 @@ def build_queries():
         "lang_id": q_lang_id,
         "largest_docs_by_lang": q_largest_docs_by_lang,
         "token_counts_bpe": q_token_counts_bpe,
+        "layout_reading_order": q_layout_reading_order,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_near_dup": q_embedding_near_dup,
         "event_window_rollup": q_event_window_rollup,
@@ -713,6 +746,7 @@ def build_oracles():
         "lang_id": _langid_oracle(),
         "largest_docs_by_lang": ORACLE_LARGEST_DOCS,
         "token_counts_bpe": ORACLE_TOKEN_COUNTS_BPE,
+        "layout_reading_order": ORACLE_LAYOUT_READING_ORDER,
         "rolling_fingerprints": ORACLE_ROLLING_FP,
         "embedding_near_dup": _near_dup_cosine_oracle(),
         "event_window_rollup": ORACLE_EVENT_WINDOW,
