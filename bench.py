@@ -123,6 +123,9 @@ def main():
 
         spark = get_spark(cpus=CPUS, app_name="selma-bench-fixtures",
                           arrow_batch_rows=256)
+        # warm the python-worker/UDF path so the first timed fixture job
+        # doesn't absorb executor spin-up
+        _flagship_count(spark, "/root/testdata/sf0.001", replicate=1)
         fdir = "/root/reference/test/benchmark/html"
         for fname, key in (("document-sm.html", "sm"), ("document-md.html", "md")):
             with open(f"{fdir}/{fname}", encoding="utf-8", errors="replace") as fh:
