@@ -592,7 +592,8 @@ def _sanitize_pass(html, sanitizer) -> str:
 
 
 def _run_pass(html, sanitizer, handlers) -> str:
-    tokens = tk.tokenize(html)
+    # handlers may call attribute_source_location -> spans materialized
+    tokens = tk.tokenize(html, need_spans=True)
     out: list[str] = []
     emit = out.append
     stack: list[_Node] = []       # matching stack (implicit pops)

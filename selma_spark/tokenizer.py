@@ -45,12 +45,30 @@ from .tags import (
 _FAST_TAG = re.compile(
     r"([a-zA-Z][a-zA-Z0-9-]*)"
     r"((?:[\t\n\r\f ]+[^\t\n\r\f /=>]+"
-    r"(?>=(?>\"[^\"]*\"|'[^']*'|[^\t\n\r\f >]*))?)*)"
+    r"(?>=(?![\t\n\r\f ])(?>\"[^\"]*\"|'[^']*'|[^\t\n\r\f >]*))?)*)"
     r"[\t\n\r\f ]*(/?)>"
 )
+# NB: '=' followed by whitespace is refused ((?![\t\n\r\f ])) so those
+# tags take the general scanner, which implements the HTML5
+# before-attribute-value rule (skip ws, next run is the value).
 _FAST_ATTR = re.compile(
     r"[\t\n\r\f ]+([^\t\n\r\f /=>]+)"
-    r"(?>=(\"[^\"]*\"|'[^']*'|[^\t\n\r\f >]*))?"
+    r"(?>=(?![\t\n\r\f ])(\"[^\"]*\"|'[^']*'|[^\t\n\r\f >]*))?"
+)
+
+# batch attr extraction (C-level findall) for passes that never consult
+# attribute source spans (sanitize/final). The strict validator re-checks
+# the blob with quote-led unquoted values EXCLUDED — precisely the one
+# shape where the sequential scanner falls back to the general parser —
+# so findall tiling is guaranteed to agree with the eager loop.
+_FAST_ATTR_ALL = re.compile(
+    r"[\t\n\r\f ]+([^\t\n\r\f /=>]+)"
+    r"(?:(=)(?![\t\n\r\f ])((?>\"[^\"]*\"|'[^']*'|[^\t\n\r\f >]*)))?"
+)
+_STRICT_BLOB = re.compile(
+    r"(?:[\t\n\r\f ]+[^\t\n\r\f /=>]+"
+    r"(?:=(?![\t\n\r\f ])"
+    r"(?>\"[^\"]*\"|'[^']*'|[^\"'\t\n\r\f >][^\t\n\r\f >]*|))?)*"
 )
 
 # C-speed span scanners (HTML5 charsets; see _WS/_ATTR_NAME_END below)
@@ -120,9 +138,12 @@ class Token:
         return f"Token({self.kind}, {self.raw!r}, name={self.name!r})"
 
 
-def tokenize(html: str, light: bool = False) -> list[Token]:
+def tokenize(html: str, light: bool = False, need_spans: bool = False) -> list[Token]:
     """light=True skips attribute materialization (used by passes that
-    only need tag names/boundaries, e.g. the final sanitization pass)."""
+    only need tag names/boundaries, e.g. the final sanitization pass).
+    need_spans=True materializes attribute source spans (only the
+    handler pass needs them, for attribute_source_location); the default
+    uses a faster batch extraction with spans=None."""
     tokens: list[Token] = []
     append = tokens.append
     n = len(html)
@@ -144,7 +165,7 @@ def tokenize(html: str, light: bool = False) -> list[Token]:
             break
         c = html[j]
         if c in _ASCII_ALPHA:
-            tok, i = _parse_start_tag(html, lt, light)
+            tok, i = _parse_start_tag(html, lt, light, need_spans)
             if tok is None:
                 break  # incomplete tag at EOF -> dropped
             append(tok)
@@ -227,7 +248,8 @@ def tokenize(html: str, light: bool = False) -> list[Token]:
     return tokens
 
 
-def _parse_start_tag(html: str, lt: int, light: bool = False):
+def _parse_start_tag(html: str, lt: int, light: bool = False,
+                     need_spans: bool = False):
     """Parse a start tag beginning at ``lt`` (html[lt] == '<', next is
     alpha). Returns (Token, next_index) or (None, n) if EOF hit before
     '>' (incomplete tag -> dropped). light skips Attr materialization."""
@@ -235,8 +257,30 @@ def _parse_start_tag(html: str, lt: int, light: bool = False):
     if m is not None:
         raw_name = m.group(1)
         attrs: list[Attr] = []
-        if m.group(2) and not light:
+        if m.group(2) and not light and not need_spans:
+            # batch path: validate the blob (quote-led unquoted values
+            # fall back, matching the eager scanner), then extract all
+            # attrs in one C-level findall; spans stay None
+            blob_start, blob_end = m.end(1), m.end(2)
+            sm = _STRICT_BLOB.match(html, blob_start, blob_end)
+            if sm is None or sm.end() != blob_end:
+                return _parse_start_tag_general(html, lt)
             seen: set[str] = set()
+            for raw_attr, eq, rawval in _FAST_ATTR_ALL.findall(
+                html, blob_start, blob_end
+            ):
+                aname = raw_attr.lower()
+                if aname in seen:
+                    continue
+                seen.add(aname)
+                if eq:
+                    if rawval[:1] in ('"', "'"):
+                        rawval = rawval[1:-1]
+                    attrs.append(Attr(aname, raw_attr, rawval, True, None, None))
+                else:
+                    attrs.append(Attr(aname, raw_attr, "", False, None, None))
+        elif m.group(2) and not light:
+            seen = set()
             pos = m.end(1)
             blob_end = m.start(3) if m.group(3) else m.end(2)
             while pos < blob_end:

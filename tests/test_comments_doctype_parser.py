@@ -74,3 +74,15 @@ def test_ambiguous_non_tag_brackets():
     assert Rewriter().rewrite("1 > 2 and 2 < 1") == "1 > 2 and 2 < 1"
     assert Rewriter().rewrite("OMG HAPPY BIRTHDAY! *<:-D") == \
         "OMG HAPPY BIRTHDAY! *<:-D"
+
+
+def test_ws_after_equals_takes_next_run_as_value():
+    # HTML5 before-attribute-value: whitespace after '=' is skipped and
+    # the next run is the value (all tokenizer paths agree; was a latent
+    # fast-path/general-path inconsistency)
+    from selma_spark import tokenizer as tk
+
+    for need_spans in (False, True):
+        toks = tk.tokenize('<a Y= ec=1>x</a>', need_spans=need_spans)
+        attrs = [(a.name, a.value, a.has_value) for a in toks[0].attrs]
+        assert attrs == [("y", "ec=1", True)], attrs
