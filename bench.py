@@ -112,6 +112,70 @@ def main():
             "efficiency": round(speedup / (big / small), 3),
         }
 
+    # multi-executor scaling: local-cluster[N,1,mem] spawns REAL separate
+    # executor JVMs (driver->executor RPC, per-executor python workers,
+    # py-files shipping) — the closest sandbox stand-in for "N and 4N
+    # executors". Tasks are right-sized (32 fat splits, not 128 thin
+    # ones): per-task arrow/python setup is ~4x costlier across JVM
+    # boundaries, the same maxPartitionBytes lesson a 100TB corpus needs.
+    multi_exec = None
+    if os.environ.get("SELMA_BENCH_MULTI_EXEC", "1") != "0":
+        from pyspark.sql import SparkSession
+
+        from selma_spark.spark.shipping import ensure_shipped
+
+        def run_cluster(n_exec: int):
+            spark = (
+                SparkSession.builder.master(f"local-cluster[{n_exec},1,4096]")
+                .appName(f"selma-bench-lc{n_exec}")
+                .config("spark.sql.shuffle.partitions", "32")
+                .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+                .config("spark.executor.memory", "4g")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            ensure_shipped(spark)
+            warm = bench_spans(
+                q.load(spark, "/root/testdata/sf0.001", "documents"),
+                replicate=1, n_partitions=4 * n_exec,
+            )
+            wout = rewrite_documents(warm, "relaxed")
+
+            def agg(o):
+                return o.select(
+                    F.sum(F.aggregate(
+                        "spans", F.lit(0).cast("bigint"),
+                        lambda acc, s: acc
+                        + F.coalesce(F.length(s["text"]), F.lit(0)),
+                    ))
+                ).collect()
+
+            agg(wout)
+            agg(wout)
+            docs = bench_spans(
+                q.load(spark, SF_DIR, "documents"),
+                replicate=REPLICATE, n_partitions=32,
+            )
+            out = rewrite_documents(docs, "relaxed")
+            reps = int(os.environ.get("SELMA_BENCH_SCALING_REPS", "2"))
+            best = min(_timed(agg, out)[0] for _ in range(reps))
+            n = docs.count()
+            spark.stop()
+            return n, best
+
+        lc_docs, lc_dt1 = run_cluster(1)
+        _, lc_dt4 = run_cluster(4)
+        multi_exec = {
+            "executors_small": 1,
+            "executors_big": 4,
+            "docs": lc_docs,
+            "secs_small": round(lc_dt1, 3),
+            "secs_big": round(lc_dt4, 3),
+            "docs_per_sec_big": round(lc_docs / lc_dt4, 1),
+            "speedup": round(lc_dt1 / lc_dt4, 3),
+            "efficiency": round(lc_dt1 / lc_dt4 / 4, 3),
+        }
+
     # reference-fixture comparison: the reference's own benchmark inputs
     # (document-sm/md.html) under (a) RELAXED sanitize (its sanitize bench,
     # README.md:222-241) and (b) its 3 rewrite handlers with sanitizer off
@@ -188,6 +252,8 @@ def main():
     }
     if scaling is not None:
         result["scaling"] = scaling
+    if multi_exec is not None:
+        result["multi_executor"] = multi_exec
     if fixtures:
         result["reference_fixtures"] = fixtures
     print(json.dumps(result))
