@@ -84,3 +84,31 @@ def test_sanitize_only_fast_path_equals_general_vm(html):
     for cfg in (S.DEFAULT, S.BASIC, S.RELAXED):
         san = Sanitizer(cfg)
         assert R._sanitize_pass(html, san) == R._run_pass(html, san, [])
+
+
+_attr_soup = st.lists(
+    st.sampled_from([
+        "<a", " x", " x=", " x= ", ' x="v"', " x='v'", " x=v", ' x="v',
+        " x=\t", " y=2", " /", "  ", ">", "/>", " >", " />", "text",
+        "<b x=1 y=2>", "</b>", "='q'", '"', "'",
+    ]),
+    max_size=12,
+).map("".join)
+
+
+@given(_attr_soup)
+@settings(max_examples=500, deadline=None)
+def test_batch_attr_path_agrees_with_span_path(html):
+    """The C-level findall attribute extraction (need_spans=False) and
+    the eager span-tracking scanner (need_spans=True) must produce
+    identical token streams on ANY input — this differential caught the
+    ws-after-equals fast-path divergence."""
+    def sig(toks):
+        return [
+            (t.kind, t.start, t.end, t.name, t.self_closing,
+             [(a.name, a.raw_name, a.value, a.has_value)
+              for a in (t.attrs or [])])
+            for t in toks
+        ]
+
+    assert sig(tokenize(html)) == sig(tokenize(html, need_spans=True))
