@@ -55,6 +55,66 @@ class ContentExtractor:
             self.title = text.to_s()
 
 
+class DensityTextExtractor:
+    """Boilerpipe/readability-style main-content heuristic in ONE
+    streaming pass (the DOM-heuristics leg of the north rule): text is
+    attributed to its innermost open block element; when a block closes,
+    it is kept as main content iff it has enough text and a low enough
+    link density (nav/footer/menu blocks are link-dense and short).
+
+    No DOM is built — the open-block stack mirrors the rewriter's
+    streaming model (reference rewriter.rs:411-431), so cost stays
+    O(tokens) and the handler composes with sanitize in one parse."""
+
+    SELECTOR = Selector(match_element="*", match_text_within="*")
+
+    def __init__(self, min_text_len: int = 60, max_link_density: float = 0.4):
+        self.min_text_len = min_text_len
+        self.max_link_density = max_link_density
+        self.blocks: list[str] = []  # accepted main-content blocks
+        # stack entries: [text_parts, link_chars, total_chars]
+        self._stack: list[list] = [[[], 0, 0]]  # sentinel = document level
+        self._anchor_depth = 0
+
+    def selector(self):
+        return self.SELECTOR
+
+    def handle_element(self, element):
+        tag = element.tag_name
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._stack.append([[], 0, 0])
+
+    def on_end_tag(self, end_tag):
+        tag = end_tag.tag_name
+        if tag == "a" and self._anchor_depth > 0:
+            self._anchor_depth -= 1
+        if tag in _BLOCK_TAGS and len(self._stack) > 1:
+            parts, link_chars, total = self._stack.pop()
+            text = "".join(parts).strip()
+            if (
+                len(text) >= self.min_text_len
+                and total > 0
+                and link_chars / total <= self.max_link_density
+            ):
+                self.blocks.append(text)
+
+    def handle_text_chunk(self, chunk):
+        s = chunk.to_s()
+        if not s:
+            return
+        top = self._stack[-1]
+        top[0].append(s)
+        top[2] += len(s)
+        if self._anchor_depth > 0:
+            top[1] += len(s)
+
+    @property
+    def main_text(self) -> str:
+        return "\n".join(self.blocks)
+
+
 class TextBreaker:
     """Unwraps every element, appending a newline after block-level ones —
     turns HTML into newline-separated plain text (reference ContentBreaker,

@@ -491,3 +491,47 @@ def run_pipeline(
     metrics.write.mode("overwrite").parquet(metrics_path)
     spark.catalog.refreshByPath(metrics_path)
     return PipelineResult(out_path, lineage_path, metrics_path)
+
+
+def density_extract_stats(docs: DataFrame) -> DataFrame:
+    """Main-content extraction stats via the boilerpipe-style
+    DensityTextExtractor (extract.py): per document, concatenate text
+    spans, run ONE streaming parse with a FRESH extractor (per-document
+    handler state), and report accepted-block stats. Narrow plan."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+
+    def fn(batches):
+        import pyarrow as pa  # noqa: PLC0415
+
+        from selma_spark.extract import DensityTextExtractor  # noqa: PLC0415
+        from selma_spark.rewriter import Rewriter  # noqa: PLC0415
+
+        for batch in batches:
+            doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
+            lst = batch.column(batch.schema.get_field_index("spans"))
+            values = lst.values
+            kinds = values.field("kind").to_pylist()
+            texts = values.field("text").to_pylist()
+            offsets = lst.offsets.to_pylist()
+            n_blocks, main_chars = [], []
+            for i in range(len(batch)):
+                lo, hi = offsets[i], offsets[i + 1]
+                html = "".join(
+                    t for k, t in zip(kinds[lo:hi], texts[lo:hi])
+                    if k == "text" and t
+                )
+                ex = DensityTextExtractor()
+                Rewriter(sanitizer=None, handlers=[ex]).rewrite(html)
+                n_blocks.append(len(ex.blocks))
+                main_chars.append(len(ex.main_text))
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, pa.array(n_blocks, type=pa.int32()),
+                 pa.array(main_chars, type=pa.int64())],
+                names=["doc_id", "n_blocks", "main_chars"],
+            )
+
+    return docs.mapInArrow(
+        fn, schema="doc_id string, n_blocks int, main_chars bigint"
+    )

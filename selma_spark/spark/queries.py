@@ -21,7 +21,7 @@ from ..golden import PROTOCOLS, STRINGS
 from . import layout, simsearch, textops
 from .datagen import bench_spans, interleaved_spans
 from .multimodal import media_features, media_manifest
-from .pipeline import rewrite_documents, rewritten_text
+from .pipeline import density_extract_stats, rewrite_documents, rewritten_text
 from .textops import MINHASH_SALTS, STOPWORDS, _LANG_MARKERS
 
 
@@ -670,6 +670,12 @@ def _extract_handlers():
     return [ContentExtractor()]
 
 
+def q_main_content_density(spark, sf_dir):
+    """DOM-heuristics leg: boilerpipe-style link-density main-content
+    extraction (rows-only; the heuristic is not SQL-expressible)."""
+    return density_extract_stats(spans_df(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_extract_flagship(spark, sf_dir):
     """RELAXED sanitize + boilerplate-strip over the bench corpus
     (golden fixture HTML embedded in nested spans + skew tail)."""
@@ -722,6 +728,7 @@ def build_queries():
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
+        "main_content_density": q_main_content_density,
     }
 
 

@@ -62,3 +62,38 @@ def test_deleting_content_fixture_is_stable():
     first = rewriter.rewrite(html)
     for _ in range(3):
         assert rewriter.rewrite(html) == first
+
+
+def test_density_extractor_rejects_link_dense_blocks():
+    from selma_spark.extract import DensityTextExtractor
+    from selma_spark.rewriter import Rewriter
+
+    html = (
+        "<div><a href=/1>Home</a> <a href=/2>About</a> "
+        "<a href=/3>Contact us today</a> <a href=/4>More links</a></div>"
+        "<div><p>This is the real article body with a considerable amount "
+        "of prose that definitely exceeds the minimum text threshold.</p>"
+        "<p>Second paragraph also long enough to count as main content, "
+        "with one <a href=/x>inline link</a> in a sea of words.</p></div>"
+    )
+    ex = DensityTextExtractor()
+    Rewriter(sanitizer=None, handlers=[ex]).rewrite(html)
+    assert len(ex.blocks) == 2
+    assert all("Home" not in b for b in ex.blocks)
+    assert "real article body" in ex.main_text
+
+
+def test_density_extractor_on_reference_fixture():
+    from selma_spark.extract import DensityTextExtractor
+    from selma_spark.rewriter import Rewriter
+
+    sm = open(
+        "/root/reference/test/benchmark/html/document-sm.html",
+        encoding="utf-8", errors="replace",
+    ).read()
+    ex = DensityTextExtractor()
+    Rewriter(sanitizer=None, handlers=[ex]).rewrite(sm)
+    # real prose survives; the nav sidebar (pure links) does not
+    assert len(ex.blocks) > 5
+    assert "Nokogiri" in ex.main_text
+    assert "installation" not in [b.lower() for b in ex.blocks]

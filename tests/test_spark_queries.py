@@ -94,7 +94,7 @@ def test_query_matches_oracle(name, spark, duck):
         raise AssertionError(f"value mismatch in {name}; first diffs: {diff}")
 
 
-@pytest.mark.parametrize("name", ["media_features", "extract_flagship"])
+@pytest.mark.parametrize("name", ["media_features", "extract_flagship", "main_content_density"])
 def test_rows_only_queries_run(name, spark):
     df = QS[name](spark, SF_DIR)
     assert df.count() > 0
