@@ -204,7 +204,15 @@ class Element:
         (reference: element.rs:117-156; nil cases pinned by
         test/selma_rewriter_attribute_source_location_test.rb:43-115)."""
         want = str(attr).lower()
-        for a in self._node._tok_attrs:
+        tok_attrs = self._node._tok_attrs
+        if tok_attrs and tok_attrs[0].name_span is None:
+            # tokens come from the batch-attr fast path (spans not
+            # materialized); re-parse just this tag's source slice with
+            # span tracking — the token keeps its offsets into src
+            tok = self._node._tok
+            retok, _ = tk._parse_start_tag(tok.src, tok.start, need_spans=True)
+            tok_attrs = self._node._tok_attrs = retok.attrs
+        for a in tok_attrs:
             if a.name == want:
                 if not a.has_value:
                     return None
@@ -592,8 +600,9 @@ def _sanitize_pass(html, sanitizer) -> str:
 
 
 def _run_pass(html, sanitizer, handlers) -> str:
-    # handlers may call attribute_source_location -> spans materialized
-    tokens = tk.tokenize(html, need_spans=True)
+    # batch-attr tokens; attribute_source_location lazily re-parses its
+    # own tag with span tracking on the rare access (Element facade)
+    tokens = tk.tokenize(html)
     out: list[str] = []
     emit = out.append
     stack: list[_Node] = []       # matching stack (implicit pops)
