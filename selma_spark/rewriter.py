@@ -41,7 +41,7 @@ from .sanitizer import (
     unescape_html,
 )
 from .selector import Selector
-from .tags import ESCAPEWORTHY_TAGS, VOID_TAGS, tag_index
+from .tags import ESCAPEWORTHY_TAGS, VOID_TAGS
 
 _MISSING = object()
 
@@ -824,7 +824,7 @@ def _sanitize_element(sanitizer: Sanitizer, node: _Node) -> None:
     if not node.attrs:
         return
 
-    is_meta = tag_index(name) == tag_index("meta") and name == "meta"
+    is_meta = name == "meta"
     for entry in list(node.attrs):
         attr_name, attr_val, has_value = entry
         if attr_name.startswith("<!--"):
