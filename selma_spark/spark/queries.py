@@ -270,6 +270,9 @@ def q_quality_scores(spark, sf_dir):
             "n_stopwords"
         ),
         F.array_max(F.transform(toks, F.length)).alias("max_token_len"),
+        F.regexp_count(
+            F.coalesce("text", F.lit("")), F.lit(r"[!-/:-@\[-`{-~]")
+        ).alias("n_punct"),
     ).orderBy("doc_id")
 
 
@@ -281,7 +284,9 @@ SELECT doc_id, length(text) AS n_chars,
        len(list_filter(string_split(text, ' '),
                        t -> t IN ({_STOP_SQL}))) AS n_stopwords,
        list_aggregate(list_transform(string_split(text, ' '),
-                                     t -> length(t)), 'max') AS max_token_len
+                                     t -> length(t)), 'max') AS max_token_len,
+       len(regexp_extract_all(coalesce(text, ''), '[!-/:-@\[-`{{-~]'))
+         AS n_punct
 FROM documents ORDER BY doc_id
 """
 
