@@ -278,7 +278,7 @@ def q_quality_scores(spark, sf_dir):
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
-ORACLE_QUALITY = f"""
+ORACLE_QUALITY = rf"""
 SELECT doc_id, length(text) AS n_chars,
        len(string_split(text, ' ')) AS n_tokens,
        len(list_filter(string_split(text, ' '),
