@@ -112,3 +112,27 @@ def test_batch_attr_path_agrees_with_span_path(html):
         ]
 
     assert sig(tokenize(html)) == sig(tokenize(html, need_spans=True))
+
+
+class _NeverMatches:
+    """Forces the handler-dispatch pass (_run_pass) without mutating."""
+
+    def selector(self):
+        from selma_spark.selector import Selector
+
+        return Selector(match_element="q.__nope__")
+
+    def handle_element(self, element):  # pragma: no cover
+        raise AssertionError("selector must never match")
+
+
+@given(_fragments)
+@settings(max_examples=300, deadline=None)
+def test_sanitize_fast_path_equals_handler_path(html):
+    """_sanitize_pass (no-handler fast path) and _run_pass (handler
+    dispatch) are two implementations of the same sanitize semantics —
+    outputs must be byte-identical on any input."""
+    for cfg in (S.DEFAULT, S.RELAXED):
+        fast = Rewriter(sanitizer=cfg).rewrite(html)
+        slow = Rewriter(sanitizer=cfg, handlers=[_NeverMatches()]).rewrite(html)
+        assert fast == slow, (html, fast, slow)
