@@ -610,6 +610,27 @@ def _run_pass(html, sanitizer, handlers) -> str:
     suppress = 0
     any_text_handlers = any(h.selector.text_selector for h in handlers)
 
+    # contiguous untouched tokens are emitted as ONE source slice
+    run_start = -1
+    run_end = -1
+
+    def keep(start, end):
+        nonlocal run_start, run_end
+        if start == run_end:
+            run_end = end
+        else:
+            if run_start >= 0:
+                emit(html[run_start:run_end])
+            run_start = start
+            run_end = end
+
+    def flush():
+        nonlocal run_start, run_end
+        if run_start >= 0:
+            emit(html[run_start:run_end])
+            run_start = -1
+            run_end = -1
+
     ntok = len(tokens)
     ti = 0
     while ti < ntok:
@@ -617,12 +638,14 @@ def _run_pass(html, sanitizer, handlers) -> str:
         kind = tok.kind
 
         if kind == tk.TEXT:
-            # coalesce adjacent text tokens (stray "<" fragments)
-            content = tok.raw
+            # coalesce adjacent text tokens (stray "<" fragments); they
+            # are contiguous in source, so the run is one slice
+            t_start = tok.start
+            t_end = tok.end
             text_type = tok.text_type
             while ti + 1 < ntok and tokens[ti + 1].kind == tk.TEXT:
                 ti += 1
-                content += tokens[ti].raw
+                t_end = tokens[ti].end
             ti += 1
             if handlers and any_text_handlers:
                 active: set[int] = set()
@@ -630,7 +653,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
                     if node.text_active:
                         active |= node.text_active
                 if active:
-                    chunk = TextChunk(content, text_type)
+                    chunk = TextChunk(html[t_start:t_end], text_type)
                     dispatched = False
                     for h_idx in sorted(active):
                         h = handlers[h_idx]
@@ -650,6 +673,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
                         dispatched = True
                     if dispatched or chunk.before_parts or chunk.after_parts:
                         if suppress == 0:
+                            flush()
                             for p in chunk.before_parts:
                                 emit(p)
                             if not chunk.removed:
@@ -658,7 +682,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
                                 emit(p)
                         continue
             if suppress == 0:
-                emit(content)
+                keep(t_start, t_end)
             continue
 
         ti += 1
@@ -699,16 +723,23 @@ def _run_pass(html, sanitizer, handlers) -> str:
             emit_ok = suppress == 0
 
             if emit_ok and node.before_parts:
+                flush()
                 for p in node.before_parts:
                     emit(p)
             mode = node.removed_mode
             if mode is None:
                 if emit_ok:
-                    emit(node.serialize_start())
+                    if node.modified or node.renamed:
+                        flush()
+                        emit(node.serialize_start())
+                    else:
+                        keep(tok.start, tok.end)
                     if node.prepend_parts:
+                        flush()
                         for p in node.prepend_parts:
                             emit(p)
                     if node.inner_content is not None and not no_end_tag:
+                        flush()
                         emit(node.inner_content)
                 if node.inner_content is not None and not no_end_tag:
                     node.suppressing = True
@@ -721,6 +752,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
 
             if no_end_tag:
                 if emit_ok and node.after_parts:
+                    flush()
                     for p in node.after_parts:
                         emit(p)
             else:
@@ -740,7 +772,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
                     break
             if idx is None:
                 if suppress == 0:
-                    emit(tok.raw)  # orphan end tag passes through verbatim
+                    keep(tok.start, tok.end)  # orphan end tag verbatim
                 continue
             # implicit closes above the match: no end-tag events fire
             for node in stack[idx + 1 :]:
@@ -769,14 +801,21 @@ def _run_pass(html, sanitizer, handlers) -> str:
                 mode = closing.removed_mode
                 if mode is None and not closing.end_removed:
                     if closing.append_parts:
+                        flush()
                         for p in closing.append_parts:
                             emit(p)
-                    emit(f"</{closing.tag_name}>" if closing.renamed else tok.raw)
+                    if closing.renamed:
+                        flush()
+                        emit(f"</{closing.tag_name}>")
+                    else:
+                        keep(tok.start, tok.end)
                 elif mode == "unwrap":
                     if closing.append_parts:
+                        flush()
                         for p in closing.append_parts:
                             emit(p)
                 if closing.after_parts:
+                    flush()
                     for p in closing.after_parts:
                         emit(p)
             continue
@@ -785,16 +824,17 @@ def _run_pass(html, sanitizer, handlers) -> str:
             if sanitizer is not None and not sanitizer.allow_comments:
                 pass  # removed
             elif suppress == 0:
-                emit(tok.raw)
+                keep(tok.start, tok.end)
             continue
 
         if kind == tk.DOCTYPE:
             if sanitizer is not None and not sanitizer.allow_doctype:
                 pass
             elif suppress == 0:
-                emit(tok.raw)
+                keep(tok.start, tok.end)
             continue
 
+    flush()
     return "".join(out)
 
 
