@@ -699,7 +699,12 @@ def _run_pass(html, sanitizer, handlers) -> str:
                 for h_idx, h in enumerate(handlers):
                     sel = h.selector
                     esel = sel.element_selector
-                    if esel is not None and esel.matches(node, stack):
+                    if esel is not None and (
+                        esel.required_tags is None
+                        # node.tag_name read per handler: an earlier
+                        # handler's rename is visible to later matches
+                        or node.tag_name in esel.required_tags
+                    ) and esel.matches(node, stack):
                         if h.has_end_tag and not node.void:
                             if node.end_tag_handlers is None:
                                 node.end_tag_handlers = []
@@ -714,7 +719,10 @@ def _run_pass(html, sanitizer, handlers) -> str:
                             except Exception as exc:
                                 raise RewriteError(str(exc)) from exc
                     tsel = sel.text_selector
-                    if tsel is not None and tsel.matches(node, stack):
+                    if tsel is not None and (
+                        tsel.required_tags is None
+                        or node.tag_name in tsel.required_tags
+                    ) and tsel.matches(node, stack):
                         if node.text_active is None:
                             node.text_active = set()
                         node.text_active.add(h_idx)

@@ -130,11 +130,22 @@ class Complex:
 
 
 class CompiledSelector:
-    __slots__ = ("css", "alternatives")
+    __slots__ = ("css", "alternatives", "required_tags")
 
     def __init__(self, css, alternatives):
         self.css = css
         self.alternatives = alternatives
+        # necessary-condition prefilter: a match requires the element's
+        # tag to be the rightmost compound's type in SOME alternative;
+        # None = unrestricted (an alternative is universal/.class/[attr])
+        tags = set()
+        for alt in alternatives:
+            t = alt.parts[-1].tag
+            if t is None:
+                tags = None
+                break
+            tags.add(t)
+        self.required_tags = frozenset(tags) if tags is not None else None
 
     def matches(self, element_node, ancestors) -> bool:
         for alt in self.alternatives:
