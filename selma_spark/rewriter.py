@@ -73,7 +73,7 @@ class _Node:
     """Open-element state shared by the VM and the Element facade."""
 
     __slots__ = (
-        "orig_name", "raw_name", "tag_name", "renamed", "attrs",
+        "orig_name", "raw_name", "tag_name", "renamed", "_attrs",
         "_tok_attrs", "explicit_self_closing", "void", "_tok",
         "modified", "removed_mode", "suppressing",
         "before_parts", "prepend_parts", "append_parts", "after_parts",
@@ -85,8 +85,8 @@ class _Node:
         self.raw_name = tok.src[tok.start + 1 : tok.start + 1 + len(tok.name)]
         self.tag_name = tok.name
         self.renamed = False
-        # attrs: list of [name_lower, value, has_value]
-        self.attrs = [[a.name, a.value, a.has_value] for a in tok.attrs]
+        self._attrs = None  # materialized on first access (most elements
+        # are never inspected now that dispatch is tag-prefiltered)
         self._tok_attrs = tok.attrs  # attr_locs built lazily
         self.explicit_self_closing = tok.self_closing
         self.void = tok.name in VOID_TAGS
@@ -102,6 +102,16 @@ class _Node:
         self.text_active = None  # set[int] of handler indices
         self.end_tag_handlers = None
         self.end_removed = False
+
+    @property
+    def attrs(self):
+        # attrs: list of [name_lower, value, has_value] (mutable in place)
+        a = self._attrs
+        if a is None:
+            a = self._attrs = [
+                [t.name, t.value, t.has_value] for t in self._tok_attrs
+            ]
+        return a
 
     # node protocol for the selector matcher
     def get_attr(self, name):
