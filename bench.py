@@ -156,9 +156,11 @@ def main():
 
             agg(wout)
             agg(wout)
+            # 2x the flagship corpus: the 4-executor run must be long
+            # enough (~25s) that +-3s host jitter can't move the ratio
             docs = bench_spans(
                 q.load(spark, SF_DIR, "documents"),
-                replicate=REPLICATE, n_partitions=32,
+                replicate=2 * REPLICATE, n_partitions=64,
             )
             out = rewrite_documents(docs, "relaxed")
             best = min(_timed(agg, out)[0] for _ in range(reps))
