@@ -879,11 +879,12 @@ def _sanitize_element(sanitizer: Sanitizer, node: _Node) -> None:
     if name == "iframe":
         node.inner_content = " " if sanitizer.element_flags(name) != 0 else ""
 
-    if not node.attrs:
+    attrs = node.attrs
+    if not attrs:
         return
 
     is_meta = name == "meta"
-    for entry in list(node.attrs):
+    for entry in list(attrs):
         attr_name, attr_val, has_value = entry
         if attr_name.startswith("<!--"):
             # <!-- smuggled inside a tag: drop the whole element
@@ -893,7 +894,7 @@ def _sanitize_element(sanitizer: Sanitizer, node: _Node) -> None:
         trimmed = attr_val.lstrip()
         unescaped = unescape_html(trimmed)
         if not sanitizer.should_keep_attribute(name, attr_name, unescaped):
-            node.attrs.remove(entry)
+            attrs.remove(entry)
             node.modified = True
         else:
             if is_meta:
