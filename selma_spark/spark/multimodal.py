@@ -90,3 +90,102 @@ def media_features(docs: DataFrame, dim: int = 8) -> DataFrame:
             yield out
 
     return refs.mapInPandas(fn, schema=MEDIA_FEATURE_SCHEMA)
+
+
+_HEX = "0123456789abcdef"
+
+
+def _fake_dims(media_ref: str) -> tuple[int, int]:
+    """Deterministic stand-in for decoded image dimensions: md5-hex
+    arithmetic, reproducible in ANSI SQL for the oracle."""
+    h = hashlib.md5(media_ref.encode("utf-8")).hexdigest()
+    return 64 + _HEX.index(h[0]) * 64, 64 + _HEX.index(h[1]) * 64
+
+
+def _fake_duration_s(media_ref: str) -> int:
+    h = hashlib.md5(media_ref.encode("utf-8")).hexdigest()
+    return 5 + _HEX.index(h[0]) * 2  # 5..35 seconds
+
+
+RESIZE_SCHEMA = (
+    "media_ref string, width int, height int, new_width int, "
+    "new_height int, resized binary"
+)
+
+
+def resize_images(docs: DataFrame, max_px: int = 256) -> DataFrame:
+    """Resize plumbing for image media spans: aspect-preserving fit into
+    max_px (integer math, oracle-checkable); the pixel resample itself is
+    stubbed — `resized` carries a deterministic fake payload with the
+    real binary column shape. Swap the stub for PIL without touching the
+    plan."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .where(F.substring(F.md5("media_ref"), 1, 1).isin(*"012345"))
+    )
+
+    def fn(iterator):
+        for pdf in iterator:
+            w_l, h_l, nw_l, nh_l, blob_l = [], [], [], [], []
+            for r in pdf["media_ref"]:
+                w, h = _fake_dims(r)
+                m = max(w, h)
+                if m <= max_px:
+                    nw, nh = w, h
+                else:
+                    nw, nh = w * max_px // m, h * max_px // m
+                w_l.append(w)
+                h_l.append(h)
+                nw_l.append(nw)
+                nh_l.append(nh)
+                # stub for the resampled bytes (real shape, fake content)
+                blob_l.append(hashlib.sha1(r.encode("utf-8")).digest())
+            out = pdf.copy()
+            out["width"], out["height"] = w_l, h_l
+            out["new_width"], out["new_height"] = nw_l, nh_l
+            out["resized"] = blob_l
+            yield out
+
+    return refs.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_ref string, frame_no int, ts_s int, frame binary"
+
+
+def sample_frames(docs: DataFrame, every_s: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video media spans: one output row per
+    sampled frame (1->N fan-out inside the pandas UDF — the batch shape a
+    real ffmpeg-backed sampler needs). Frame decode is stubbed; timing
+    math (every_s grid over the fake duration) is oracle-checkable."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .where(~F.substring(F.md5("media_ref"), 1, 1).isin(*"0123456789a"))
+    )
+
+    def fn(iterator):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in iterator:
+            rows = []
+            for r in pdf["media_ref"]:
+                dur = _fake_duration_s(r)
+                for i, t in enumerate(range(0, dur + 1, every_s)):
+                    rows.append(
+                        (r, i, t,
+                         hashlib.sha1(f"{r}@{t}".encode("utf-8")).digest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "frame_no", "ts_s", "frame"]
+            )
+
+    return refs.mapInPandas(fn, schema=FRAME_SCHEMA)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..golden import PROTOCOLS, STRINGS
 from . import layout, simsearch, textops
 from .datagen import bench_spans, interleaved_spans
-from .multimodal import media_features, media_manifest
+from .multimodal import media_features, media_manifest, resize_images, sample_frames
 from .pipeline import density_extract_stats, rewrite_documents, rewritten_text
 from .textops import MINHASH_SALTS, STOPWORDS, _LANG_MARKERS
 
@@ -675,6 +675,59 @@ def _extract_handlers():
     return [ContentExtractor()]
 
 
+def q_media_resize_plan(spark, sf_dir):
+    """Image-resize leg: fit into 256px, integer math; pixel resample
+    stubbed (binary column excluded here so the oracle checks values)."""
+    out = resize_images(spans_df(spark, sf_dir))
+    return out.select(
+        "media_ref", "width", "height", "new_width", "new_height"
+    ).orderBy("media_ref")
+
+
+# fake dims = 64 + hexdigit*64 over md5(ref); aspect-fit into 256
+ORACLE_MEDIA_RESIZE = """
+WITH m AS (
+  SELECT 'media://' || doc_id || '/1' AS media_ref FROM documents
+  WHERE doc_id % 4 = 0),
+img AS (
+  SELECT media_ref,
+         64 + (strpos('0123456789abcdef', substr(md5(media_ref), 1, 1)) - 1) * 64 AS width,
+         64 + (strpos('0123456789abcdef', substr(md5(media_ref), 2, 1)) - 1) * 64 AS height
+  FROM m WHERE substr(md5(media_ref), 1, 1) IN ('0','1','2','3','4','5'))
+SELECT media_ref, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+  CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+       ELSE width * 256 // greatest(width, height) END AS INT) AS new_width,
+  CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+       ELSE height * 256 // greatest(width, height) END AS INT) AS new_height
+FROM img ORDER BY media_ref
+"""
+
+
+def q_frame_samples(spark, sf_dir):
+    """Video frame-sampling leg: 1->N fan-out per video ref on a 10s
+    grid over the (deterministic fake) duration; frame bytes stubbed."""
+    out = sample_frames(spans_df(spark, sf_dir))
+    return out.select("media_ref", "frame_no", "ts_s").orderBy(
+        "media_ref", "frame_no"
+    )
+
+
+# duration = 5 + hexdigit(md5[0])*2; frames at 0,10,20.. <= duration
+ORACLE_FRAME_SAMPLES = """
+WITH m AS (
+  SELECT 'media://' || doc_id || '/1' AS media_ref FROM documents
+  WHERE doc_id % 4 = 0),
+v AS (
+  SELECT media_ref,
+         5 + (strpos('0123456789abcdef', substr(md5(media_ref), 1, 1)) - 1) * 2 AS dur
+  FROM m WHERE substr(md5(media_ref), 1, 1) NOT IN
+        ('0','1','2','3','4','5','6','7','8','9','a'))
+SELECT media_ref, CAST(u.i AS INT) AS frame_no, CAST(u.i * 10 AS INT) AS ts_s
+FROM v, UNNEST(range(0, dur // 10 + 1)) AS u(i)
+ORDER BY media_ref, frame_no
+"""
+
+
 def q_main_content_density(spark, sf_dir):
     """DOM-heuristics leg: boilerpipe-style link-density main-content
     extraction (rows-only; the heuristic is not SQL-expressible)."""
@@ -731,6 +784,8 @@ def build_queries():
         "lsh_buckets": q_lsh_buckets,
         "label_stats": q_label_stats,
         "media_manifest": q_media_manifest,
+        "media_resize_plan": q_media_resize_plan,
+        "frame_samples": q_frame_samples,
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
@@ -768,5 +823,7 @@ def build_oracles():
         "lsh_buckets": ORACLE_LSH_BUCKETS,
         "label_stats": ORACLE_LABEL_STATS,
         "media_manifest": ORACLE_MEDIA_MANIFEST,
+        "media_resize_plan": ORACLE_MEDIA_RESIZE,
+        "frame_samples": ORACLE_FRAME_SAMPLES,
         # media_features, extract_flagship: rows-only (non-SQL-expressible)
     }
