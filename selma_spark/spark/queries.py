@@ -231,8 +231,8 @@ def q_doc_stats_by_lang(spark, sf_dir):
 
 ORACLE_DOC_STATS = """
 SELECT lang, count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
-       sum(len(string_split(text, ' '))) AS total_tokens
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """
 
