@@ -21,7 +21,7 @@ from ..golden import PROTOCOLS, STRINGS
 from . import layout, simsearch, textops
 from .datagen import bench_spans, interleaved_spans
 from .multimodal import media_features, media_manifest, resize_images, sample_frames
-from .pipeline import density_extract_stats, rewrite_documents, rewritten_text
+from .pipeline import bucketed, density_extract_stats, rewrite_documents, rewritten_text, with_doc_bytes
 from .textops import MINHASH_SALTS, STOPWORDS, _LANG_MARKERS
 
 
@@ -728,6 +728,42 @@ ORDER BY media_ref, frame_no
 """
 
 
+def q_byte_weighted_buckets(spark, sf_dir):
+    """Explicit skew handling: byte-weighted greedy-LPT bucketing of the
+    span corpus (1%% of docs are 50x base size at bench scale); per-bucket
+    doc counts and byte sums must balance."""
+    docs = spans_df(spark, sf_dir)
+    b = bucketed(docs, 8, byte_weighted=True)
+    return (
+        with_doc_bytes(b)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("_bytes").alias("sum_bytes"))
+        .orderBy("bucket")
+    )
+
+
+# doc bytes = len(text) + wrapper overhead (by doc_id%%6) + 11 ('<em>ok</em>')
+# when doc_id%%3=0; media spans carry NULL text. Bucket = (row_number over
+# bytes DESC, doc_id-as-string ASC - 1) %% 8 — the greedy LPT deal.
+ORACLE_BYTE_BUCKETS = """
+WITH sized AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    length(text)
+      + (CASE doc_id % 6 WHEN 0 THEN 11 WHEN 1 THEN 7 WHEN 2 THEN 17
+                         WHEN 3 THEN 25 WHEN 4 THEN 34 ELSE 30 END)
+      + (CASE WHEN doc_id % 3 = 0 THEN 11 ELSE 0 END) AS bytes
+  FROM documents),
+ranked AS (
+  SELECT bytes,
+         row_number() OVER (ORDER BY bytes DESC, doc_id) AS rn
+  FROM sized)
+SELECT CAST((rn - 1) % 8 AS INT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(bytes) AS BIGINT) AS sum_bytes
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_main_content_density(spark, sf_dir):
     """DOM-heuristics leg: boilerpipe-style link-density main-content
     extraction (rows-only; the heuristic is not SQL-expressible)."""
@@ -786,6 +822,7 @@ def build_queries():
         "media_manifest": q_media_manifest,
         "media_resize_plan": q_media_resize_plan,
         "frame_samples": q_frame_samples,
+        "byte_weighted_buckets": q_byte_weighted_buckets,
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
@@ -825,5 +862,6 @@ def build_oracles():
         "media_manifest": ORACLE_MEDIA_MANIFEST,
         "media_resize_plan": ORACLE_MEDIA_RESIZE,
         "frame_samples": ORACLE_FRAME_SAMPLES,
+        "byte_weighted_buckets": ORACLE_BYTE_BUCKETS,
         # media_features, extract_flagship: rows-only (non-SQL-expressible)
     }
