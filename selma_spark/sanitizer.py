@@ -25,6 +25,7 @@ per Spark task and safe to share via closure capture / broadcast.
 from __future__ import annotations
 
 import html as _htmlmod
+from collections.abc import Mapping
 from types import MappingProxyType
 
 from .tags import TAG_COUNT, TEXT_CONTENT_TAGS, tag_index
@@ -40,10 +41,16 @@ RELATIVE = "relative"  # :relative
 
 def deep_merge(base: dict, other: dict) -> dict:
     """Deep merge for deriving custom configs
-    (reference: lib/selma/sanitizer/config.rb:26-52)."""
+    (reference: lib/selma/sanitizer/config.rb:26-52; non-hash args raise,
+    pinned by test/selma_sanitizer_config_test.rb:52-55)."""
+    if not isinstance(base, Mapping) or not isinstance(other, Mapping):
+        raise TypeError("Both arguments must be dicts")
     out = dict(base)
     for k, v in other.items():
-        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+        # Mapping, not dict: frozen configs hold MappingProxyType values
+        # and must still merge deeply (the reference merges frozen
+        # hashes, config.rb:26-52)
+        if k in out and isinstance(out[k], Mapping) and isinstance(v, Mapping):
             out[k] = deep_merge(out[k], v)
         else:
             out[k] = v
