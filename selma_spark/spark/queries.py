@@ -329,6 +329,25 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_near_dup_verified(spark, sf_dir):
+    return textops.near_dup_verified(load(spark, sf_dir, "documents"))
+
+
+ORACLE_NEAR_DUP_VERIFIED = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t),
+sig AS (SELECT doc_id, list_distinct(sh) AS dsh,
+        list_min(list_transform(sh, x -> md5('s0' || x))) AS band FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_filter(a.dsh, x -> list_contains(b.dsh, x))) AS DOUBLE)
+        / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) AS jaccard
+FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_filter(a.dsh, x -> list_contains(b.dsh, x))) AS DOUBLE)
+        / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_simhash(spark, sf_dir):
     return textops.simhash16(load(spark, sf_dir, "documents"))
 
@@ -805,6 +824,7 @@ def build_queries():
         "quality_scores": q_quality_scores,
         "minhash_signatures": q_minhash_signatures,
         "near_dup_pairs": q_near_dup_pairs,
+        "near_dup_verified": q_near_dup_verified,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
@@ -845,6 +865,7 @@ def build_oracles():
         "quality_scores": ORACLE_QUALITY,
         "minhash_signatures": ORACLE_MINHASH,
         "near_dup_pairs": ORACLE_NEAR_DUP,
+        "near_dup_verified": ORACLE_NEAR_DUP_VERIFIED,
         "simhash": ORACLE_SIMHASH,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "lang_id": _langid_oracle(),

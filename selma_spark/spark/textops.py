@@ -262,3 +262,28 @@ def token_counts_bpe(documents: DataFrame) -> DataFrame:
             "n_bpe_tokens"
         ),
     ).orderBy("doc_id")
+
+
+def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The full two-stage near-dup pipeline: LSH band join generates
+    candidates (cheap, shuffles on the band key only), then exact
+    shingle-set Jaccard verifies each candidate pair. At 100 TB the
+    candidate set is orders of magnitude smaller than all-pairs, so the
+    expensive exact step touches only plausible duplicates."""
+    sh = documents.select(
+        "doc_id", F.array_distinct(_shingles(tokens_col())).alias("sh")
+    )
+    cands = near_dup_pairs(documents)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb"))
+        / F.size(F.array_union("sa", "sb")),
+        4,
+    )
+    return (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
