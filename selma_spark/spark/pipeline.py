@@ -134,8 +134,15 @@ def make_rewrite_fn(config="default", handlers_factory=None,
                 # the round-trip (literal-built plans declare non-null)
                 fields=[struct_type.field(i) for i in range(struct_type.num_fields)],
             )
+            # null spans arrays must stay null (from_arrays would
+            # otherwise rebuild them as empty lists)
+            mask = None
+            if lst.null_count:
+                import pyarrow.compute as pc  # noqa: PLC0415
+
+                mask = pc.is_null(lst)
             new_lst = pa.ListArray.from_arrays(
-                lst.offsets, new_values, type=lst.type
+                lst.offsets, new_values, type=lst.type, mask=mask
             )
             arrays = [
                 new_lst if i == spans_idx else batch.column(i)

@@ -222,3 +222,28 @@ def test_memo_rewrite_matches_direct_path(spark):
         for r in rewrite_documents_memo(docs, "relaxed").collect()
     }
     assert direct == memo
+
+
+def test_null_and_empty_spans_round_trip(spark):
+    """Dirty-corpus shapes: a NULL spans array must stay NULL (the arrow
+    reconstruction must propagate the list null mask), an empty array
+    stays empty, and a null text span passes through."""
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        ("a", [("text", "<b>x</b>", None, 0)]),
+        ("b", None),
+        ("c", []),
+        ("d", [("text", None, None, 0)]),
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    out = {
+        r["doc_id"]: r["spans"]
+        for r in rewrite_documents(docs, "default").collect()
+    }
+    assert out["b"] is None
+    assert out["c"] == []
+    assert out["d"][0]["text"] is None
+    assert out["a"][0]["text"] == "x"
