@@ -64,6 +64,23 @@ def _extract_text_impl(html: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _main_content_impl(html: pd.Series) -> pd.Series:
+    from ..extract import DensityTextExtractor  # noqa: PLC0415
+    from ..rewriter import Rewriter  # noqa: PLC0415
+
+    out = []
+    for h in html:
+        if h is None:
+            out.append(None)
+        elif "<" not in h:
+            out.append(h)
+        else:
+            ex = DensityTextExtractor()  # fresh: per-document block state
+            Rewriter(sanitizer=None, handlers=[ex]).rewrite(h)
+            out.append(ex.main_text)
+    return pd.Series(out)
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Register the engine's SQL functions on a session (also ships the
     package to workers)."""
@@ -75,4 +92,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("selma_sanitize", pandas_udf(_sanitize_impl, "string"))
     spark.udf.register(
         "selma_extract_text", pandas_udf(_extract_text_impl, "string")
+    )
+    spark.udf.register(
+        "selma_main_content", pandas_udf(_main_content_impl, "string")
     )

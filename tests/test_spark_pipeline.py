@@ -247,3 +247,17 @@ def test_null_and_empty_spans_round_trip(spark):
     assert out["c"] == []
     assert out["d"][0]["text"] is None
     assert out["a"][0]["text"] == "x"
+
+
+def test_sql_function_main_content(spark):
+    from selma_spark.spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT selma_main_content("
+        "'<div><a href=/1>Home</a> <a href=/2>About</a> "
+        "<a href=/3>More nav</a> <a href=/4>Links</a></div>"
+        "<div><p>The real article body, long enough to clear the minimum "
+        "text threshold for a main-content block easily.</p></div>') AS m"
+    ).collect()[0]
+    assert "real article body" in row["m"] and "Home" not in row["m"]
