@@ -50,6 +50,13 @@ def main(argv=None) -> int:
     ensure_shipped(spark)
 
     docs = spark.read.format(args.format).load(args.input)
+    if "spans" not in docs.columns or "doc_id" not in docs.columns:
+        raise SystemExit(
+            "input must be span documents (doc_id string, spans "
+            "array<struct<kind,text,media_ref,offset>>); got columns "
+            f"{docs.columns}. A plain text table can be converted with "
+            "selma_spark.spark.datagen.interleaved_spans."
+        )
 
     handlers_factory = None
     if args.extract:
