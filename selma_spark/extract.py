@@ -10,12 +10,17 @@ from __future__ import annotations
 
 from .sanitizer import DEFAULT
 from .selector import Selector
+from .tags import VOID_TAGS
 
 BOILERPLATE_TAGS = frozenset(
     ("pre", "code", "form", "style", "noscript", "script", "svg")
 )
 
 _BLOCK_TAGS = frozenset(DEFAULT["whitespace_elements"])
+# br/hr are in whitespace_elements but are void: they never produce an
+# end tag, so pushing a stack frame for them would leak it and desync
+# text attribution. They act as separators, not block openers.
+_BLOCK_OPEN_TAGS = _BLOCK_TAGS - VOID_TAGS
 
 
 class ContentExtractor:
@@ -83,14 +88,14 @@ class DensityTextExtractor:
         tag = element.tag_name
         if tag == "a":
             self._anchor_depth += 1
-        if tag in _BLOCK_TAGS:
+        if tag in _BLOCK_OPEN_TAGS:
             self._stack.append([[], 0, 0])
 
     def on_end_tag(self, end_tag):
         tag = end_tag.tag_name
         if tag == "a" and self._anchor_depth > 0:
             self._anchor_depth -= 1
-        if tag in _BLOCK_TAGS and len(self._stack) > 1:
+        if tag in _BLOCK_OPEN_TAGS and len(self._stack) > 1:
             parts, link_chars, total = self._stack.pop()
             text = "".join(parts).strip()
             if (

@@ -190,24 +190,30 @@ def rewrite_documents_memo(
     enforced by ``max_distinct``; above it, falls back to
     rewrite_documents_dedup (join-based, unbounded cardinality)."""
     spark = docs.sparkSession
-    # ONE corpus scan collects the (bounded) distinct payload set; the
-    # limit caps driver memory — overflow falls back to the join variant
-    distinct_pdf = (
+    # the distinct payload set must fit in driver memory; check BOTH the
+    # row cap and the byte cap DISTRIBUTEDLY before any driver collect
+    # (a few-but-huge-payload corpus would otherwise OOM the driver
+    # inside toPandas before the byte check ever ran)
+    distinct_df = (
         docs.select(F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "text")
         .select(F.col("s.text").alias("text"))
         .where(F.col("text").isNotNull() & F.col("text").contains("<"))
         .distinct()
-        .limit(max_distinct + 1)
-        .toPandas()
+        .persist()
     )
-    if (
-        len(distinct_pdf) > max_distinct
-        or int(distinct_pdf["text"].str.len().sum()) > max_memo_bytes
-    ):
-        return rewrite_documents_dedup(
-            docs, config, handlers_factory, max_text_bytes, on_error
-        )
+    try:
+        stats = distinct_df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("chars"),
+        ).first()
+        if stats["n"] > max_distinct or stats["chars"] > max_memo_bytes:
+            return rewrite_documents_dedup(
+                docs, config, handlers_factory, max_text_bytes, on_error
+            )
+        distinct_pdf = distinct_df.toPandas()
+    finally:
+        distinct_df.unpersist()
     # rewrite the distinct payloads in a small local-data job (no second
     # corpus scan), keyed by position
     wrapped = spark.createDataFrame(
@@ -276,8 +282,12 @@ def rewrite_documents_dedup(
     ex = docs.select(
         "doc_id", F.posexplode("spans").alias("pos", "s")
     ).select("doc_id", "pos", F.col("s.*"))
+    # NULL text must not share a key with '' (md5(coalesce) would collide
+    # them and F.first could swap one for the other); prefix-disambiguate
     text_rows = ex.where(F.col("kind") == "text").withColumn(
-        "_h", F.md5(F.coalesce("text", F.lit("")))
+        "_h",
+        F.when(F.col("text").isNull(), F.lit("null:"))
+        .otherwise(F.concat(F.lit("md5:"), F.md5("text"))),
     )
 
     distinct = text_rows.select("_h", "text").groupBy("_h").agg(
@@ -331,11 +341,21 @@ def rewrite_documents_dedup(
             .alias("spans"),
         )
     )
-    # docs with zero spans still round-trip (left join back to the keys)
-    keys = docs.select("doc_id", *[c for c in docs.columns if c not in ("doc_id", "spans")])
+    # docs with zero spans still round-trip (left join back to the keys);
+    # NULL spans arrays stay NULL (parity with rewrite_documents, which
+    # masks them through the arrow hop) — only genuinely-empty arrays
+    # come back as empty
+    arr_t = f"array<{span_t.simpleString()}>"
+    keys = docs.select(
+        "doc_id",
+        F.col("spans").isNull().alias("_spans_null"),
+        *[c for c in docs.columns if c not in ("doc_id", "spans")],
+    )
     return keys.join(reassembled, "doc_id", "left").select(
         *[
-            F.coalesce("spans", F.array().cast(f"array<{span_t.simpleString()}>")).alias("spans")
+            F.when(F.col("_spans_null"), F.lit(None).cast(arr_t))
+            .otherwise(F.coalesce("spans", F.array().cast(arr_t)))
+            .alias("spans")
             if c == "spans"
             else c
             for c in docs.columns
@@ -384,10 +404,17 @@ def bucketed(docs: DataFrame, n_buckets: int, byte_weighted: bool = False) -> Da
 
     hash mode: pmod(xxhash64(doc_id), n) — uniform in doc COUNT, no extra
     shuffle beyond the bucketing itself.
-    byte_weighted mode: documents ordered by size desc and dealt
-    round-robin (greedy LPT approximation) — balances BYTES when 1% of
-    docs are 50-1000x base size. Costs one global sort; use for skewed
-    corpora."""
+    byte_weighted mode: documents are dealt round-robin in size order
+    (greedy LPT approximation) — balances BYTES when 1% of docs are
+    50-1000x base size. Scale-safe: the deal runs independently inside
+    (size-stratum, salt) groups — stratum = decimal-digit-count of the
+    byte size (docs within 10x of each other), salt = one md5 hex digit
+    of doc_id (16-way split) — so the row_number window is PARTITIONED
+    (hash exchange, parallel tasks), never a single-partition global
+    sort. Each group's deal start is rotated by (stratum*16 + salt) so
+    remainder rows don't pile onto bucket 0. Deterministic (md5 +
+    row_number over a total order), so the DuckDB oracle reproduces it
+    exactly."""
     if not byte_weighted:
         return docs.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
@@ -395,11 +422,26 @@ def bucketed(docs: DataFrame, n_buckets: int, byte_weighted: bool = False) -> Da
     from pyspark.sql.window import Window
 
     sized = with_doc_bytes(docs)
-    w = Window.orderBy(F.desc("_bytes"), F.col("doc_id"))
+    keyed = sized.withColumn(
+        # digit-count stratum: exact in any engine (no float log2 at
+        # power-of-two boundaries), groups sizes within 10x
+        "_stratum", F.length(F.col("_bytes").cast("string")).cast("int")
+    ).withColumn(
+        "_salt", F.conv(F.substring(F.md5("doc_id"), 1, 1), 16, 10).cast("int")
+    )
+    w = Window.partitionBy("_stratum", "_salt").orderBy(
+        F.desc("_bytes"), F.col("doc_id")
+    )
     return (
-        sized.withColumn("_rank", F.row_number().over(w))
-        .withColumn("bucket", ((F.col("_rank") - 1) % n_buckets).cast("int"))
-        .drop("_rank", "_bytes")
+        keyed.withColumn("_rank", F.row_number().over(w))
+        .withColumn(
+            "bucket",
+            (
+                (F.col("_rank") - 1 + F.col("_stratum") * 16 + F.col("_salt"))
+                % n_buckets
+            ).cast("int"),
+        )
+        .drop("_rank", "_bytes", "_stratum", "_salt")
     )
 
 

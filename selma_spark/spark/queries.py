@@ -762,8 +762,11 @@ def q_byte_weighted_buckets(spark, sf_dir):
 
 
 # doc bytes = len(text) + wrapper overhead (by doc_id%%6) + 11 ('<em>ok</em>')
-# when doc_id%%3=0; media spans carry NULL text. Bucket = (row_number over
-# bytes DESC, doc_id-as-string ASC - 1) %% 8 — the greedy LPT deal.
+# when doc_id%%3=0; media spans carry NULL text. The deal is the
+# stratified-salted LPT from pipeline.bucketed: stratum = digit count of
+# bytes, salt = first md5 hex digit of doc_id, row_number within
+# (stratum, salt) over (bytes DESC, doc_id ASC), bucket =
+# (rn - 1 + stratum*16 + salt) %% 8.
 ORACLE_BYTE_BUCKETS = """
 WITH sized AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -772,11 +775,17 @@ WITH sized AS (
                          WHEN 3 THEN 25 WHEN 4 THEN 34 ELSE 30 END)
       + (CASE WHEN doc_id % 3 = 0 THEN 11 ELSE 0 END) AS bytes
   FROM documents),
+keyed AS (
+  SELECT doc_id, bytes,
+         length(CAST(bytes AS VARCHAR)) AS stratum,
+         strpos('0123456789abcdef', substr(md5(doc_id), 1, 1)) - 1 AS salt
+  FROM sized),
 ranked AS (
-  SELECT bytes,
-         row_number() OVER (ORDER BY bytes DESC, doc_id) AS rn
-  FROM sized)
-SELECT CAST((rn - 1) % 8 AS INT) AS bucket,
+  SELECT bytes, stratum, salt,
+         row_number() OVER (PARTITION BY stratum, salt
+                            ORDER BY bytes DESC, doc_id) AS rn
+  FROM keyed)
+SELECT CAST((rn - 1 + stratum * 16 + salt) % 8 AS INT) AS bucket,
        count(*) AS n_docs,
        CAST(sum(bytes) AS BIGINT) AS sum_bytes
 FROM ranked GROUP BY 1 ORDER BY 1

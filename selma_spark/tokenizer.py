@@ -161,7 +161,9 @@ def tokenize(html: str, light: bool = False, need_spans: bool = False) -> list[T
             append(Token(TEXT, html, i, lt))
         j = lt + 1
         if j >= n:
-            # lone "<" at EOF: incomplete token, dropped
+            # lone "<" at EOF: incomplete token, dropped (lol-html stream
+            # end discards it — pinned by the "" expectation for
+            # '<<script>…' in selma_sanitizer_malicious_html_test.rb:156)
             break
         c = html[j]
         if c in _ASCII_ALPHA:

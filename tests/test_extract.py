@@ -83,6 +83,35 @@ def test_density_extractor_rejects_link_dense_blocks():
     assert "real article body" in ex.main_text
 
 
+def test_density_extractor_handles_void_separators():
+    """br/hr are whitespace_elements but void: they must NOT open a block
+    frame (no end tag ever fires), or the enclosing block's text leaks."""
+    from selma_spark.extract import DensityTextExtractor
+    from selma_spark.rewriter import Rewriter
+
+    prose = (
+        "This paragraph has sixty-plus characters of genuine prose text "
+        "split by a line break"
+    )
+    html = f"<p>{prose}<br>and it continues after the break just fine.</p>"
+    ex = DensityTextExtractor()
+    Rewriter(sanitizer=None, handlers=[ex]).rewrite(html)
+    assert len(ex.blocks) == 1
+    assert "genuine prose" in ex.blocks[0]
+    assert "continues after the break" in ex.blocks[0]
+
+    # hr between two paragraphs must not shift attribution either
+    html2 = (
+        "<p>First block of prose long enough to pass the minimum text "
+        "length threshold easily.</p><hr>"
+        "<p>Second block of prose, also long enough to pass the minimum "
+        "text length threshold.</p>"
+    )
+    ex2 = DensityTextExtractor()
+    Rewriter(sanitizer=None, handlers=[ex2]).rewrite(html2)
+    assert len(ex2.blocks) == 2
+
+
 def test_density_extractor_on_reference_fixture():
     from selma_spark.extract import DensityTextExtractor
     from selma_spark.rewriter import Rewriter

@@ -76,6 +76,19 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_byte_weighted_bucketing_has_no_global_window(spark):
+    # the LPT deal's row_number window must be PARTITIONED (hash
+    # exchange over (stratum, salt)), never a single-partition global
+    # sort — that would serialize the whole corpus through one task
+    from selma_spark.spark.pipeline import bucketed
+
+    docs = q.spans_df(spark, SF_DIR)
+    b = bucketed(docs, 8, byte_weighted=True)
+    plan = plan_of(b, mode="simple")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange hashpartitioning" in plan, plan
+
+
 def test_exact_dedup_has_partial_aggregation(spark):
     # groupBy(md5) must plan a map-side partial HashAggregate before the
     # exchange (one shuffle total)

@@ -249,6 +249,64 @@ def test_null_and_empty_spans_round_trip(spark):
     assert out["a"][0]["text"] == "x"
 
 
+def test_dedup_and_memo_preserve_null_spans_and_null_text(spark):
+    """Dirty-corpus parity across ALL rewrite paths: NULL spans arrays
+    stay NULL (not []), empty stays empty, and a NULL-text span must not
+    be swapped with an empty-string-text span by the dedup join (the key
+    disambiguates NULL from '')."""
+    from selma_spark.spark.pipeline import (
+        rewrite_documents_dedup,
+        rewrite_documents_memo,
+    )
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        ("a", [("text", "<b>x</b>", None, 0)]),
+        ("b", None),
+        ("c", []),
+        ("d", [("text", None, None, 0)]),
+        ("e", [("text", "", None, 0)]),
+        ("f", [("media", None, "media://f/0", 0), ("text", "<i>y</i>", None, 1)]),
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    expected = {
+        r["doc_id"]: r["spans"]
+        for r in rewrite_documents(docs, "default").collect()
+    }
+    for variant in (rewrite_documents_dedup, rewrite_documents_memo):
+        out = {
+            r["doc_id"]: r["spans"]
+            for r in variant(docs, "default").collect()
+        }
+        assert out["b"] is None, variant.__name__
+        assert out["c"] == [], variant.__name__
+        assert out["d"][0]["text"] is None, variant.__name__
+        assert out["e"][0]["text"] == "", variant.__name__
+        assert out == expected, variant.__name__
+
+
+def test_memo_byte_cap_falls_back_before_collect(spark):
+    """The byte cap must route to the join-based variant (checked
+    distributedly) — and the fallback must still match the narrow path."""
+    from selma_spark.spark.pipeline import rewrite_documents_memo
+
+    docs = make_span_docs(spark)
+    direct = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in rewrite_documents(docs, "relaxed").collect()
+    }
+    out = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in rewrite_documents_memo(
+            docs, "relaxed", max_memo_bytes=8
+        ).collect()
+    }
+    assert out == direct
+
+
 def test_sql_function_main_content(spark):
     from selma_spark.spark.functions import register_sql_functions
 
