@@ -54,9 +54,11 @@ def decode_media_bytes(payload: bytes) -> object:
 
 
 def fake_featurize(media_ref: str, dim: int = 8) -> list[float]:
-    """Deterministic stand-in feature vector: bytes of sha1(media_ref)
-    scaled to [0,1). Keeps the batch shape identical to a real encoder."""
-    h = hashlib.sha1(media_ref.encode("utf-8")).digest()
+    """Deterministic stand-in feature vector: bytes of md5(media_ref)
+    scaled to [0,1). Keeps the batch shape identical to a real encoder;
+    md5 (not sha1) so the value oracle is expressible in ANSI SQL
+    (hex-digit arithmetic over DuckDB's md5)."""
+    h = hashlib.md5(media_ref.encode("utf-8")).digest()
     return [b / 256.0 for b in h[:dim]]
 
 

@@ -680,8 +680,54 @@ FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id, media_ref
 
 
 def q_media_features(spark, sf_dir):
-    # rows-only check: fake featurizer is not SQL-expressible
-    return media_features(spans_df(spark, sf_dir)).orderBy("media_ref")
+    """Feature extraction over media spans via the mapInPandas featurizer.
+    The array<float> feature column is surfaced as an integer CSV
+    (exact byte recovery: round(x*256)) so the driver canon — which
+    sorts column values — never sees an unhashable list, and the md5
+    fake is reproducible in the SQL oracle."""
+    out = media_features(spans_df(spark, sf_dir))
+    return out.select(
+        "media_ref",
+        "mime",
+        "width",
+        "height",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature", lambda x: F.round(x * 256).cast("int").cast("string")
+            ),
+        ).alias("feature_csv"),
+    ).orderBy("media_ref")
+
+
+def _duck_md5_byte(i: int) -> str:
+    """DuckDB expression for byte i of md5(media_ref) as an integer."""
+    d1 = f"substr(hx, {2 * i + 1}, 1)"
+    d2 = f"substr(hx, {2 * i + 2}, 1)"
+    return (
+        f"((strpos('0123456789abcdef', {d1}) - 1) * 16"
+        f" + strpos('0123456789abcdef', {d2}) - 1)"
+    )
+
+
+# mime/width/height/feature derive from the md5 bytes of the ref:
+# f_i = b_i/256; mime = image iff b0 < 128; width = b1*4+1; height = b2*4+1
+ORACLE_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT 'media://' || doc_id || '/1' AS media_ref
+  FROM documents WHERE doc_id % 4 = 0),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM m),
+b AS (SELECT media_ref,
+  {", ".join(f"{_duck_md5_byte(i)} AS b{i}" for i in range(8))}
+  FROM h)
+SELECT media_ref,
+       CASE WHEN b0 < 128 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+       CAST(b1 * 4 + 1 AS INT) AS width,
+       CAST(b2 * 4 + 1 AS INT) AS height,
+       {" || ',' || ".join(f"CAST(b{i} AS VARCHAR)" for i in range(8))}
+         AS feature_csv
+FROM b ORDER BY media_ref
+"""
 
 
 # --------------------------------------------------------------------------
@@ -794,8 +840,26 @@ FROM ranked GROUP BY 1 ORDER BY 1
 
 def q_main_content_density(spark, sf_dir):
     """DOM-heuristics leg: boilerpipe-style link-density main-content
-    extraction (rows-only; the heuristic is not SQL-expressible)."""
+    extraction over the interleaved corpus."""
     return density_extract_stats(spans_df(spark, sf_dir)).orderBy("doc_id")
+
+
+# The interleaved corpus is wrapper-deterministic: only the doc_id%6 in
+# (0,2) wrappers (<div>/<p>) open a block element, the block's text is
+# exactly the document text, link density is 0, and the block is kept
+# iff len(trim(text)) >= 60 (DensityTextExtractor defaults). All other
+# wrappers (b/a/span/script-suffix) never open a block -> 0 blocks.
+ORACLE_MAIN_CONTENT_DENSITY = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(CASE WHEN doc_id % 6 IN (0, 2)
+                  AND length(trim(text)) >= 60 THEN 1 ELSE 0 END AS INT)
+         AS n_blocks,
+       CAST(CASE WHEN doc_id % 6 IN (0, 2)
+                  AND length(trim(text)) >= 60
+                 THEN length(trim(text)) ELSE 0 END AS BIGINT)
+         AS main_chars
+FROM documents ORDER BY doc_id
+"""
 
 
 def q_extract_flagship(spark, sf_dir):
@@ -811,6 +875,65 @@ def q_extract_flagship(spark, sf_dir):
             lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
         ).alias("out_chars"),
     ).orderBy("doc_id")
+
+
+def _flagship_constants():
+    """Per-document-class (payload p, nest depth k, skew s) constants for
+    the flagship oracle: expected out_chars = C + M * len(text) + 0.
+
+    The bench corpus embeds the document text inside a fixed HTML shell
+    (datagen.bench_spans); the text itself is plain ASCII prose (no
+    '<'/'&'), so the RELAXED+ContentExtractor output length is affine in
+    len(text). C and M are measured by probing the pure-Python core —
+    which is pinned byte-identical to the reference by the golden
+    corpus — with two text lengths, and spot-checked with a third
+    (linearity assert). span2's contribution ('tail {k}') folds into C."""
+    from ..extract import ContentExtractor  # noqa: PLC0415
+    from ..rewriter import Rewriter  # noqa: PLC0415
+    from .datagen import golden_payloads  # noqa: PLC0415
+    from .pipeline import resolve_config  # noqa: PLC0415
+
+    payloads = golden_payloads()
+    cfg = resolve_config("relaxed")
+
+    def out_len(html: str) -> int:
+        r = Rewriter(sanitizer=cfg, handlers=[ContentExtractor()])
+        return len(r.rewrite(html))
+
+    def doc_out(p: int, k: int, skew: bool, text: str) -> int:
+        base = (
+            "<span>" * k + "<p>" + text + "</p>" + payloads[p] + "</span>" * k
+        )
+        html = "<br>".join([base] * 50) if skew else base
+        return out_len(html) + out_len(f"<b>tail {k}</b>")
+
+    rows = []
+    for p in range(len(payloads)):
+        for k in range(9):
+            for s in (0, 1):
+                c0 = doc_out(p, k, bool(s), "")
+                c4 = doc_out(p, k, bool(s), "xxxx")
+                assert (c4 - c0) % 4 == 0, (p, k, s, c0, c4)
+                m = (c4 - c0) // 4
+                if (p * 9 + k) % 13 == 0:  # spot-check linearity
+                    assert doc_out(p, k, bool(s), "z" * 9) == c0 + 9 * m, (p, k, s)
+                rows.append((p, k, s, c0, m))
+    return len(payloads), rows
+
+
+def _flagship_oracle() -> str:
+    n_payloads, rows = _flagship_constants()
+    values = ",".join(f"({p},{k},{s},{c},{m})" for p, k, s, c, m in rows)
+    return f"""
+WITH cls(p, k, s, c, m) AS (VALUES {values}),
+d AS (SELECT doc_id AS id, length(text) AS tl FROM documents)
+SELECT CAST(id AS VARCHAR) AS doc_id,
+       CAST(2 + (CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_spans,
+       CAST(c + m * tl AS BIGINT) AS out_chars
+FROM d JOIN cls ON cls.p = id % {n_payloads} AND cls.k = id % 9
+     AND cls.s = (CASE WHEN id % 100 = 0 THEN 1 ELSE 0 END)
+ORDER BY doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -893,5 +1016,7 @@ def build_oracles():
         "media_resize_plan": ORACLE_MEDIA_RESIZE,
         "frame_samples": ORACLE_FRAME_SAMPLES,
         "byte_weighted_buckets": ORACLE_BYTE_BUCKETS,
-        # media_features, extract_flagship: rows-only (non-SQL-expressible)
+        "media_features": ORACLE_MEDIA_FEATURES,
+        "extract_flagship": _flagship_oracle(),
+        "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
     }
