@@ -318,13 +318,27 @@ def q_near_dup_pairs(spark, sf_dir):
     return textops.near_dup_pairs(load(spark, sf_dir, "documents"))
 
 
-ORACLE_NEAR_DUP = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t),
+# multi-band (b=4, r=1) candidate generation with the bucket-size cap
+# mirrored from textops.lsh_bands (buckets > 50 docs dropped pre-join)
+_DUCK_LSH_BANDS = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {{shingles}} AS sh FROM t),
 sig AS (SELECT doc_id,
-        list_min(list_transform(sh, x -> md5('s0' || x))) AS band FROM s)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
+        {", ".join(f"list_min(list_transform(sh, x -> md5('s{i}' || x))) AS mh{i}" for i in range(4))}
+        FROM s),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_id, mh{i} AS band_val FROM sig" for i in range(4))}),
+kept AS (
+  SELECT doc_id, band_id, band_val FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_val) <= 50)
+"""
+
+ORACLE_NEAR_DUP = f"""
+WITH {_DUCK_LSH_BANDS.format(shingles=_DUCK_SHINGLES)}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM kept a JOIN kept b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
 
@@ -334,17 +348,22 @@ def q_near_dup_verified(spark, sf_dir):
 
 
 ORACLE_NEAR_DUP_VERIFIED = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t),
-sig AS (SELECT doc_id, list_distinct(sh) AS dsh,
-        list_min(list_transform(sh, x -> md5('s0' || x))) AS band FROM s)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  round(CAST(len(list_filter(a.dsh, x -> list_contains(b.dsh, x))) AS DOUBLE)
-        / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) AS jaccard
-FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
-WHERE round(CAST(len(list_filter(a.dsh, x -> list_contains(b.dsh, x))) AS DOUBLE)
-        / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) >= 0.5
-ORDER BY doc_a, doc_b
+WITH {_DUCK_LSH_BANDS.format(shingles=_DUCK_SHINGLES)},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id),
+dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+    round(CAST(len(list_filter(a.dsh, x -> list_contains(b.dsh, x))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) AS jaccard
+  FROM cands c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
 """
 
 
@@ -937,6 +956,92 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# relational (TPC-H-style tables)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    from . import relational  # noqa: PLC0415
+
+    return relational.pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  count(*) AS n_items,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+    AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+    AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    from . import relational  # noqa: PLC0415
+
+    return relational.revenue_by_nation(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT r_name, n_name, count(*) AS n_orders,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+    AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_brand_revenue_topk(spark, sf_dir):
+    from . import relational  # noqa: PLC0415
+
+    return relational.brand_revenue_topk(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+ORACLE_BRAND_REVENUE_TOPK = """
+WITH agg AS (
+  SELECT p_brand, count(*) AS n_items,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         AS DECIMAL(38,4)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT p_brand, n_items, CAST(rev AS VARCHAR) AS revenue
+FROM agg ORDER BY rev DESC, p_brand LIMIT 10
+"""
+
+
+def q_priority_top_orders(spark, sf_dir):
+    from . import relational  # noqa: PLC0415
+
+    return relational.priority_top_orders(load(spark, sf_dir, "orders"))
+
+
+ORACLE_PRIORITY_TOP_ORDERS = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders)
+SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_price
+FROM ranked WHERE rk <= 5 ORDER BY o_orderpriority, rk
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -978,6 +1083,10 @@ def build_queries():
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "brand_revenue_topk": q_brand_revenue_topk,
+        "priority_top_orders": q_priority_top_orders,
     }
 
 
@@ -1019,4 +1128,8 @@ def build_oracles():
         "media_features": ORACLE_MEDIA_FEATURES,
         "extract_flagship": _flagship_oracle(),
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
+        "pricing_summary": ORACLE_PRICING_SUMMARY,
+        "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+        "brand_revenue_topk": ORACLE_BRAND_REVENUE_TOPK,
+        "priority_top_orders": ORACLE_PRIORITY_TOP_ORDERS,
     }

@@ -1,0 +1,125 @@
+"""Relational queries over the TPC-H-style tables.
+
+The join/aggregate surface a user of a general analytics engine hits
+constantly, expressed so Catalyst produces the plan you'd want at 100 TB:
+
+* dimension joins BROADCAST the small side explicitly (nation/region/
+  customer/part are classic broadcast dims; the fact tables stream
+  through map-side hash joins with zero fact-table shuffle),
+* rollups aggregate with map-side partial aggregation (one shuffle on
+  the group keys),
+* money sums are computed in DECIMAL (exact, associative — immune to
+  float reduction-order nondeterminism across partitioned executions)
+  and surfaced as strings for stable cross-engine comparison,
+* top-k uses orderBy+limit, which Spark plans as TakeOrderedAndProject
+  (no global sort materialization).
+
+Plan shapes are pinned by tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,2)"
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus),
+    exact decimal sums of quantity / extended price / discounted price.
+    One shuffle (the groupBy); partial aggregation happens map-side."""
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_price = price * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(qty).cast("decimal(38,2)").cast("string").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").cast("string").alias("sum_disc_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Revenue rollup through the dimension chain orders->customer->
+    nation->region. customer/nation/region are broadcast (the fact
+    table never shuffles for the joins; the only exchange is the final
+    groupBy)."""
+    j = (
+        orders.join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def brand_revenue_topk(lineitem: DataFrame, part: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k brands by discounted revenue: fact ⋈ broadcast(part dim),
+    map-side partial agg, TakeOrderedAndProject for the top-k (ties
+    broken by brand for determinism)."""
+    disc_price = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    agg = (
+        lineitem.join(
+            F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("_rev"),
+        )
+    )
+    return (
+        agg.orderBy(F.desc("_rev"), "p_brand")
+        .limit(k)
+        .select(
+            "p_brand",
+            "n_items",
+            F.col("_rev").cast("string").alias("revenue"),
+        )
+    )
+
+
+def priority_top_orders(orders: DataFrame, k: int = 5) -> DataFrame:
+    """Per-priority top-k orders by total price: a PARTITIONED window
+    (hash exchange on o_orderpriority, never a single global sort);
+    o_orderkey tie-break keeps the ranking total and reproducible."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "o_orderpriority",
+            "rk",
+            "o_orderkey",
+            F.col("o_totalprice").cast(_DEC).cast("string").alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "rk")
+    )

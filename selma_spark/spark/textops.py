@@ -87,10 +87,8 @@ def _shingles(toks, k=3):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """MinHash over 3-word shingles: one signature column per salt
-    (min of md5(salt || shingle)); shingle->minhash->band-join is the
-    scalable near-dup path."""
+def _minhash_df(documents: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh3) without the presentation sort."""
     toks = tokens_col()
     sh = _shingles(toks)
     def salted(salt):
@@ -102,48 +100,107 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
         F.array_min(F.transform(sh, salted(salt))).alias(f"mh{i}")
         for i, salt in enumerate(MINHASH_SALTS)
     ]
-    return documents.select("doc_id", *cols).orderBy("doc_id")
+    return documents.select("doc_id", *cols)
 
 
-def near_dup_pairs(documents: DataFrame) -> DataFrame:
-    """LSH banding on the first minhash: docs sharing a band bucket are
-    candidate near-duplicates (verified downstream). The self-join
-    shuffles on the band key only."""
-    sig = minhash_signatures(documents).select(
-        "doc_id", F.col("mh0").alias("band")
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """MinHash over 3-word shingles: one signature column per salt
+    (min of md5(salt || shingle)); shingle->minhash->band-join is the
+    scalable near-dup path."""
+    return _minhash_df(documents).orderBy("doc_id")
+
+
+def lsh_bands(documents: DataFrame, max_band_size: int = 50) -> DataFrame:
+    """Multi-band LSH rows (doc_id, band_id, band_val): b=4 bands, r=1
+    row each — a pair collides if ANY of the 4 minhashes agree, which is
+    the recall fix over single-band banding.
+
+    Skew safety: bands whose bucket exceeds ``max_band_size`` docs are
+    dropped BEFORE the self-join (count via groupBy — map-side partial
+    aggregation absorbs hot keys; no window, so no single-task hot
+    partition). A bucket that large is a trivially-duplicate cluster:
+    its members are caught by exact dedup / the remaining bands, while
+    an uncapped O(m^2) band join on a boilerplate-heavy corpus would
+    blow up at scale."""
+    sig = _minhash_df(documents)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.col(f"mh{i}").alias("band_val"),
+                    )
+                    for i in range(len(MINHASH_SALTS))
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_val")
+    counts = bands.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("_band_n")
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
     return (
-        a.join(b, F.col("a.band") == F.col("b.band"))
+        bands.join(
+            counts.where(F.col("_band_n") <= max_band_size),
+            ["band_id", "band_val"],
+        )
+        .drop("_band_n")
+    )
+
+
+def near_dup_pairs(documents: DataFrame, max_band_size: int = 50) -> DataFrame:
+    """LSH candidate pairs over all 4 minhash bands: docs sharing any
+    band bucket are candidate near-duplicates (verified downstream).
+    The self-join shuffles on the band key only, and every bucket is
+    pre-capped at ``max_band_size`` docs, so per-bucket fan-out is
+    bounded by max_band_size^2/2 — no quadratic blow-up on hot bands."""
+    kept = lsh_bands(documents, max_band_size=max_band_size)
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Single-pass SimHash: md5 computed ONCE per token (inside the transform),
+# then one aggregate folds per-hex-digit high-bit counts into a 16-slot
+# array; the majority vote zips against literal bit weights. The naive
+# form (16 separate F.filter passes) evaluates md5 16x per token — on the
+# corpus's hottest wide column that's 16x wasted CPU.
+_SIMHASH_EXPR = """
+aggregate(
+  zip_with(
+    aggregate(
+      transform(split(text, ' '), t -> upper(md5(t))),
+      array_repeat(0, 16),
+      (acc, h) -> zip_with(acc, sequence(1, 16),
+        (a, i) -> a + IF(substring(h, i, 1)
+                         IN ('8','9','A','B','C','D','E','F'), 1, 0))),
+    array({weights}),
+    (c, w) -> IF(2 * c > size(split(text, ' ')), w, 0)),
+  0, (a, b) -> a + b)
+""".format(weights=", ".join(str(1 << j) for j in range(16)))
 
 
 def simhash16(documents: DataFrame) -> DataFrame:
     """16-bit SimHash variant: bit j is the majority vote of the high bit
     of hex digit j of md5(token) across tokens. Fully SQL-expressible
     (and mirrored in the DuckDB oracle)."""
-    toks = tokens_col()
-    n = F.size(toks)
-    def hex_high_bit(j):
-        return lambda t: F.upper(F.substring(F.md5(t), j + 1, 1)).isin(
-            "8", "9", "A", "B", "C", "D", "E", "F"
-        )
-
-    bits = []
-    for j in range(16):
-        high = F.size(F.filter(toks, hex_high_bit(j)))
-        bits.append(F.when(high * 2 > n, F.lit(1 << j)).otherwise(F.lit(0)))
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return documents.select("doc_id", total.alias("simhash")).orderBy("doc_id")
+    return documents.select(
+        "doc_id", F.expr(_SIMHASH_EXPR).cast("int").alias("simhash")
+    ).orderBy("doc_id")
 
 
 def ngram_jaccard(documents: DataFrame, doc_a: int, doc_b: int) -> DataFrame:

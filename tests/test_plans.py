@@ -89,6 +89,42 @@ def test_byte_weighted_bucketing_has_no_global_window(spark):
     assert "Exchange hashpartitioning" in plan, plan
 
 
+def test_dimension_joins_broadcast_the_small_side(spark):
+    # orders->customer->nation->region must be all BroadcastHashJoin:
+    # the fact table never shuffles for the joins
+    from selma_spark.spark import relational
+
+    df = relational.revenue_by_nation(
+        q.load(spark, SF_DIR, "orders"),
+        q.load(spark, SF_DIR, "customer"),
+        q.load(spark, SF_DIR, "nation"),
+        q.load(spark, SF_DIR, "region"),
+    )
+    plan = plan_of(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_brand_topk_broadcasts_and_takes_ordered(spark):
+    from selma_spark.spark import relational
+
+    df = relational.brand_revenue_topk(
+        q.load(spark, SF_DIR, "lineitem"), q.load(spark, SF_DIR, "part")
+    )
+    plan = plan_of(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_priority_window_is_partitioned(spark):
+    from selma_spark.spark import relational
+
+    df = relational.priority_top_orders(q.load(spark, SF_DIR, "orders"))
+    plan = plan_of(df, mode="simple")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderpriority" in plan, plan
+
+
 def test_exact_dedup_has_partial_aggregation(spark):
     # groupBy(md5) must plan a map-side partial HashAggregate before the
     # exchange (one shuffle total)

@@ -307,6 +307,29 @@ def test_memo_byte_cap_falls_back_before_collect(spark):
     assert out == direct
 
 
+def test_lsh_hot_band_is_capped(spark):
+    """A 1000-copy boilerplate cluster must NOT produce ~500k candidate
+    pairs: buckets over max_band_size are dropped before the self-join
+    (those docs are exact-dup territory), so the pair count stays
+    bounded while genuinely-near docs still pair via the other bands."""
+    from selma_spark.spark import textops
+
+    rows = [(str(i), "copy copy copy boilerplate nav footer") for i in range(1000)]
+    rows += [
+        ("u1", "a genuinely unique document about owls and lighthouses"),
+        ("u2", "a genuinely unique document about owls and lightships"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = textops.near_dup_pairs(docs, max_band_size=50)
+    n = pairs.count()
+    # the hot cluster contributes zero pairs; u1/u2 share 4 of their
+    # shingles' bands at most -> a handful of pairs, never quadratic
+    assert n <= 10, n
+    # exact dedup still catches the hot cluster
+    dups = textops.dedup_exact(docs).where(F.col("n_dups") >= 1000)
+    assert dups.count() == 1
+
+
 def test_sql_function_main_content(spark):
     from selma_spark.spark.functions import register_sql_functions
 
