@@ -207,7 +207,11 @@ def main():
         for fname, key in (("document-sm.html", "sm"), ("document-md.html", "md")):
             with open(f"{fdir}/{fname}", encoding="utf-8", errors="replace") as fh:
                 html = fh.read()
-            n_copies = 2000 if key == "sm" else 600
+            # enough copies that per-job fixed overhead (~1s scheduler +
+            # python-worker spin-up) amortizes away: these rows measure
+            # sustained throughput, which is what the reference's
+            # benchmark-ips numbers report
+            n_copies = 8000 if key == "sm" else 1200
             docs = spark.range(n_copies).select(
                 FX.col("id").cast("string").alias("doc_id"),
                 FX.array(FX.struct(
@@ -216,7 +220,8 @@ def main():
                     FX.lit(None).cast("string").alias("media_ref"),
                     FX.lit(0).cast("int").alias("offset"),
                 )).alias("spans"),
-            ).repartition(4 * CPUS).persist()
+            ).repartition(2 * CPUS).persist()  # 2 waves: amortizes task
+            # setup while still rebalancing around straggler vCPUs
             docs.count()
             for mode, cfg, hf in (
                 ("sanitize", "relaxed", None),

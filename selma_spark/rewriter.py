@@ -73,7 +73,7 @@ class _Node:
     """Open-element state shared by the VM and the Element facade."""
 
     __slots__ = (
-        "orig_name", "raw_name", "tag_name", "renamed", "_attrs",
+        "orig_name", "tag_name", "renamed", "_attrs",
         "_tok_attrs", "explicit_self_closing", "void", "_tok",
         "modified", "removed_mode", "suppressing",
         "before_parts", "prepend_parts", "append_parts", "after_parts",
@@ -82,7 +82,6 @@ class _Node:
 
     def __init__(self, tok: tk.Token):
         self.orig_name = tok.name
-        self.raw_name = tok.src[tok.start + 1 : tok.start + 1 + len(tok.name)]
         self.tag_name = tok.name
         self.renamed = False
         self._attrs = None  # materialized on first access (most elements
@@ -102,6 +101,13 @@ class _Node:
         self.text_active = None  # set[int] of handler indices
         self.end_tag_handlers = None
         self.end_removed = False
+
+    @property
+    def raw_name(self) -> str:
+        # original-case tag name, sliced lazily (only serialize_start
+        # reads it; most nodes are raw-passthrough and never do)
+        t = self._tok
+        return t.src[t.start + 1 : t.start + 1 + len(t.name)]
 
     @property
     def attrs(self):
@@ -557,10 +563,17 @@ def _sanitize_pass(html, sanitizer) -> str:
                 continue
             if suppress == 0:
                 if node.modified or node.inner_content is not None:
-                    flush()
-                    emit(node.serialize_start())
-                    if node.inner_content is not None and not no_end:
-                        emit(node.inner_content)
+                    s = node.serialize_start()
+                    if node.inner_content is None and s == html[tok.start:tok.end]:
+                        # canonical rebuild == source bytes (already
+                        # double-quoted, lowercase, single-spaced): keep
+                        # the raw run contiguous instead of flushing
+                        keep(tok)
+                    else:
+                        flush()
+                        emit(s)
+                        if node.inner_content is not None and not no_end:
+                            emit(node.inner_content)
                 else:
                     keep(tok)
             if node.inner_content is not None and not no_end:
@@ -906,6 +919,11 @@ def _sanitize_element(sanitizer: Sanitizer, node: _Node) -> None:
                     new_val = escape_href(unescaped)
                 else:
                     new_val = escape_html(unescaped)
+                # set_attribute parity: the reference sets every kept
+                # non-empty attr, which re-serializes the whole tag in
+                # canonical form (lowercase names, double quotes) even
+                # when the value bytes are unchanged — pinned by the
+                # single-quote normalization test
                 entry[1] = new_val
                 entry[2] = True
                 node.modified = True

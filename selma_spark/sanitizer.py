@@ -25,6 +25,7 @@ per Spark task and safe to share via closure capture / broadcast.
 from __future__ import annotations
 
 import html as _htmlmod
+import re as _re
 from collections.abc import Mapping
 from types import MappingProxyType
 
@@ -371,12 +372,19 @@ _HREF_SAFE = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
     "-_.+!*(),%#@?=;:/~$"
 )
+# one C-level scan deciding whether the per-char loop is needed at all
+# (the overwhelmingly common case for real-world hrefs is all-safe)
+_HREF_ALL_SAFE_RE = _re.compile(
+    r"[A-Za-z0-9\-_.+!*(),%#@?=;:/~$]*\Z"
+)
 
 
 def escape_href(value: str) -> str:
     """href-context escaping (escapist's escape_href, cmark-style):
     safe bytes pass, & -> &amp;, ' -> &#x27;, everything else
     percent-encoded per UTF-8 byte."""
+    if _HREF_ALL_SAFE_RE.match(value) is not None:
+        return value
     out = []
     append = out.append
     for ch in value:

@@ -402,15 +402,20 @@ def _parse_start_tag_general(html: str, lt: int):
     )
 
 
+# one-shot end-tag matcher: name + anything-but-'>' + '>' (HTML5 end
+# tags allow junk before '>' which is discarded); equivalent to the
+# general path below but a single C-level match
+_FAST_END = re.compile(r"([^\t\n\r\f />]*)[^>]*>")
+
+
 def _parse_end_tag(html: str, lt: int):
-    i = lt + 2
-    start_name = i
-    i = _RE_TAG_NAME.match(html, i).end()
-    name = html[start_name:i].lower()
-    gt = html.find(">", i)
-    if gt < 0:
+    m = _FAST_END.match(html, lt + 2)
+    if m is None:
         return None, len(html)
-    return Token(END_TAG, html, lt, gt + 1, name=name), gt + 1
+    return (
+        Token(END_TAG, html, lt, m.end(), name=m.group(1).lower()),
+        m.end(),
+    )
 
 
 def _consume_rawtext(html: str, hlow: str, i: int, tag: str, append) -> int:
