@@ -215,10 +215,14 @@ class Element:
         return {a[0]: a[1] for a in self._node.attrs}
 
     def attribute_source_location(self, attr):
-        """Byte ranges of an attribute in the ORIGINAL input; None for
-        missing/added/pure-boolean attrs
-        (reference: element.rs:117-156; nil cases pinned by
-        test/selma_rewriter_attribute_source_location_test.rb:43-115)."""
+        """BYTE ranges (UTF-8) of an attribute in the ORIGINAL input;
+        None for missing/added/pure-boolean attrs (reference:
+        element.rs:117-156 returns name_loc.bytes()/loc.bytes(); nil
+        cases pinned by
+        test/selma_rewriter_attribute_source_location_test.rb:43-115).
+        The tokenizer tracks character offsets; on non-ASCII documents
+        they are converted to UTF-8 byte offsets here (ASCII documents
+        need no conversion — offsets coincide)."""
         want = str(attr).lower()
         tok_attrs = self._node._tok_attrs
         if tok_attrs and tok_attrs[0].name_span is None:
@@ -232,7 +236,19 @@ class Element:
             if a.name == want:
                 if not a.has_value:
                     return None
-                return {"name": a.name_span, "value": a.value_span}
+                src = self._node._tok.src
+                if src.isascii():
+                    return {"name": a.name_span, "value": a.value_span}
+
+                def to_bytes(span):
+                    s, e = span
+                    pre = len(src[:s].encode("utf-8"))
+                    return (pre, pre + len(src[s:e].encode("utf-8")))
+
+                return {
+                    "name": to_bytes(a.name_span),
+                    "value": to_bytes(a.value_span),
+                }
         return None
 
     @property

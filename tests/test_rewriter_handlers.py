@@ -414,6 +414,27 @@ def test_attr_source_locations():
     assert locs["class"]["name"] != locs["data-foo"]["name"]
 
 
+def test_attr_source_locations_are_byte_ranges_on_multibyte_input():
+    """The reference returns BYTE ranges over UTF-8 (element.rs:117-156,
+    consumed with Ruby's byteslice). Multibyte characters BEFORE and
+    INSIDE the attribute value must shift/widen the ranges accordingly."""
+    locs = {}
+    h = H(Selector(match_element="a"),
+          element=lambda s, el: locs.update({
+              n: el.attribute_source_location(n) for n in ("href", "title")
+          }))
+    # 日本語 = 9 UTF-8 bytes / 3 chars before the tag; émoji in the value
+    html = '<p>日本語 <a href="/wörld" title="✓ ok">link</a></p>'
+    rewrite(html, h)
+    raw = html.encode("utf-8")
+    loc = locs["href"]
+    assert raw[loc["name"][0]:loc["name"][1]] == b"href"
+    assert raw[loc["value"][0]:loc["value"][1]] == "/wörld".encode()
+    loc = locs["title"]
+    assert raw[loc["name"][0]:loc["name"][1]] == b"title"
+    assert raw[loc["value"][0]:loc["value"][1]] == "✓ ok".encode()
+
+
 def test_added_attribute_has_no_source_location():
     captured = {}
 

@@ -307,6 +307,35 @@ def test_memo_byte_cap_falls_back_before_collect(spark):
     assert out == direct
 
 
+def test_iceberg_sink_seam(spark):
+    """run_pipeline(sink=IcebergSink(...)) is the swap-in path for
+    clusters with Iceberg jars; this container has none (CLAUDE.md), so
+    the test exercises the seam up to the catalog boundary and skips if
+    the Iceberg classes are absent."""
+    from selma_spark.spark.pipeline import IcebergSink
+
+    sink = IcebergSink("local.db.docs", n_buckets=4)
+    assert sink.output_path == "local.db.docs"
+    assert sink.lineage_path == "local.db.docs_lineage"
+    docs = make_span_docs(spark)
+    try:
+        run_pipeline(spark, docs, "ignored", n_buckets=4, sink=sink)
+    except Exception as e:
+        msg = str(e)
+        if (
+            "iceberg" in msg.lower()
+            or "ClassNotFound" in msg
+            or "Catalog" in msg
+            or "TABLE_OR_VIEW_NOT_FOUND" in msg
+            or "SCHEMA_NOT_FOUND" in msg
+            or "REQUIRES_SINGLE_PART_NAMESPACE" in msg
+        ):
+            pytest.skip(f"no Iceberg runtime in this container: {msg[:120]}")
+        raise
+    out = spark.read.table("local.db.docs")
+    assert out.count() == docs.count()
+
+
 def test_lsh_hot_band_is_capped(spark):
     """A 1000-copy boilerplate cluster must NOT produce ~500k candidate
     pairs: buckets over max_band_size are dropped before the self-join
