@@ -252,6 +252,9 @@ def main():
         "dedup_exact",
         "minhash_signatures",
         "embedding_topk",
+        "near_dup_verified",
+        "pricing_summary",
+        "revenue_by_nation",
     ):
         fn = q.build_queries()[name]
         dt, _ = _timed(lambda: fn(spark, SF_DIR).count())

@@ -955,6 +955,87 @@ ORDER BY doc_id
 """
 
 
+def q_ivf_cells(spark, sf_dir):
+    """IVF coarse-quantizer cell occupancy (deterministic seed
+    centroids: vec_id < 16; argmax cosine, ties -> smallest cid)."""
+    return simsearch.ivf_cells(load(spark, sf_dir, "embeddings"))
+
+
+_DUCK_IVF_ASSIGN = """
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings WHERE vec_id < 16),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT e.vec_id, c.cid,
+    list_dot_product(emb, cemb)
+      / (sqrt(list_dot_product(emb, emb))
+         * sqrt(list_dot_product(cemb, cemb))) AS cos
+  FROM e, c),
+best AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid) AS rn
+    FROM scored) WHERE rn = 1)
+"""
+
+ORACLE_IVF_CELLS = f"""
+WITH {_DUCK_IVF_ASSIGN}
+SELECT cid, count(*) AS n_vectors FROM best GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_embedding_topk_ivf(spark, sf_dir):
+    """IVF ANN top-k: probe the 4 cells nearest the query, brute-force
+    cosine inside them (recall < 1 by design, deterministic)."""
+    return simsearch.topk_cosine_ivf(load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_TOPK_IVF = f"""
+WITH {_DUCK_IVF_ASSIGN},
+probe AS (
+  SELECT cid FROM scored WHERE vec_id = 0 ORDER BY cos DESC, cid LIMIT 4),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
+SELECT b.vec_id,
+  round(list_dot_product(e.emb, q.qemb)
+        / (sqrt(list_dot_product(e.emb, e.emb))
+           * sqrt(list_dot_product(q.qemb, q.qemb))), 4) AS cosine
+FROM best b
+JOIN probe p ON b.cid = p.cid
+JOIN e ON e.vec_id = b.vec_id, q
+WHERE b.vec_id <> 0
+ORDER BY cosine DESC, b.vec_id LIMIT 10
+"""
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 2) via 3-band pigeonhole
+    candidates + bit_count verify."""
+    return textops.simhash_near_dup(load(spark, sf_dir, "documents"))
+
+
+ORACLE_SIMHASH_NEAR_DUP = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM t),
+bands AS (
+  SELECT doc_id, simhash, 0 AS band_id, simhash % 32 AS band_val FROM sh
+  UNION ALL
+  SELECT doc_id, simhash, 1, (simhash // 32) % 32 FROM sh
+  UNION ALL
+  SELECT doc_id, simhash, 2, simhash // 1024 FROM sh),
+kept AS (
+  SELECT doc_id, simhash, band_id, band_val FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_val) <= 100)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+FROM kept a JOIN kept b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
 # --------------------------------------------------------------------------
 # relational (TPC-H-style tables)
 # --------------------------------------------------------------------------
@@ -1083,6 +1164,9 @@ def build_queries():
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
+        "ivf_cells": q_ivf_cells,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
+        "simhash_near_dup": q_simhash_near_dup,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "brand_revenue_topk": q_brand_revenue_topk,
@@ -1128,6 +1212,9 @@ def build_oracles():
         "media_features": ORACLE_MEDIA_FEATURES,
         "extract_flagship": _flagship_oracle(),
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
+        "ivf_cells": ORACLE_IVF_CELLS,
+        "embedding_topk_ivf": ORACLE_EMBEDDING_TOPK_IVF,
+        "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
         "pricing_summary": ORACLE_PRICING_SUMMARY,
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
         "brand_revenue_topk": ORACLE_BRAND_REVENUE_TOPK,

@@ -93,6 +93,94 @@ def topk_cosine_lsh(
     return topk_cosine(candidates, query, k, exclude_vec_id=exclude_vec_id)
 
 
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (max cosine, ties -> smallest centroid id). Centroids here are the
+    deterministic seed sample vec_id < n_centroids — a real deployment
+    would run a few k-means rounds, which only changes the centroid
+    table, not this assignment plan.
+
+    Scale shape: the centroid table is BROADCAST (tiny), the cross join
+    is a narrow per-row scan over n_centroids candidates, and the argmax
+    is a map-side-combinable groupBy — no all-pairs anything."""
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        _cosine(F.col("embedding"), F.col("cemb")).alias("_cos"),
+    )
+    # argmax via struct-max: (cosine, -cid) orders by cosine then
+    # smallest centroid id — one aggregate, no window
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_cos").alias("c"),
+                    (-F.col("cid")).alias("nc"),
+                )
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.nc")).cast("bigint").alias("cid"))
+    )
+
+
+def ivf_cells(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Cell occupancy of the IVF index (the partition histogram you'd
+    monitor for quantizer skew)."""
+    return (
+        ivf_assign(embeddings, n_centroids)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cid")
+    )
+
+
+def topk_cosine_ivf(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: probe only the nprobe cells nearest the query,
+    brute-force cosine inside them. At scale the assignment is a stored
+    index column (partition key), so the probe prunes partitions; here
+    it is computed inline from the same deterministic quantizer."""
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qemb")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select("cid", _cosine(F.col("qemb"), F.col("cemb")).alias("_cos"))
+        .orderBy(F.desc("_cos"), "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    assign = ivf_assign(embeddings, n_centroids)
+    cands = (
+        assign.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != query_vec_id)
+        .join(embeddings, "vec_id")
+    )
+    sim = _cosine(F.col("embedding"), F.col("qemb"))
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(sim, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label count + mean of the first embedding component —
     a groupBy with map-side partial aggregation."""

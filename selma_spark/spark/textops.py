@@ -203,6 +203,67 @@ def simhash16(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def simhash_near_dup(
+    documents: DataFrame, max_hamming: int = 2, max_band_size: int = 100
+) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <=
+    max_hamming, found without an all-pairs join. The 16-bit simhash is
+    split into 3 bands (5+5+6 bits); by pigeonhole, any pair within
+    hamming 2 agrees exactly on at least one band, so the candidate join
+    is an equi-join on (band_id, band_val). Hot bands (> max_band_size
+    docs) are dropped pre-join — identical-simhash mega-clusters are
+    exact-dup territory. Verification is one JVM-side bit_count(xor)."""
+    sh = simhash16(documents).select("doc_id", "simhash")
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    (F.col("simhash") % 32).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    ((F.col("simhash") / 32).cast("int") % 32).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_id"),
+                    (F.col("simhash") / 1024).cast("int").alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    counts = bands.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("_n")
+    )
+    kept = bands.join(
+        counts.where(F.col("_n") <= max_band_size), ["band_id", "band_val"]
+    ).drop("_n")
+    a, b = kept.alias("a"), kept.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").cast("bigint").bitwiseXOR(
+            F.col("b.simhash").cast("bigint")
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def ngram_jaccard(documents: DataFrame, doc_a: int, doc_b: int) -> DataFrame:
     """Jaccard similarity of two documents' word-3-gram sets."""
     toks = tokens_col()
