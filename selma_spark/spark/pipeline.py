@@ -260,6 +260,7 @@ def rewrite_documents_dedup(
     handlers_factory=None,
     max_text_bytes=None,
     on_error="raise",
+    broadcast_rewritten: bool = False,
 ) -> DataFrame:
     """Rewrite with distinct-payload elimination: rewrite each DISTINCT
     text span once, hash-join the results back, reassemble spans in
@@ -273,7 +274,13 @@ def rewrite_documents_dedup(
     10-50x per byte, so this wins whenever the dup ratio is
     non-trivial; on an all-unique corpus it only costs the shuffles.
     The join key is md5(text) (not the text itself) so shuffle rows
-    stay narrow."""
+    stay narrow.
+
+    ``broadcast_rewritten=True`` hints the rewritten-distinct side into a
+    broadcast hash join (executor-side broadcast, no driver round-trip)
+    — the right call when the distinct-payload set is known small but
+    you'd rather not collect it to the driver as rewrite_documents_memo
+    does; the corpus side then never shuffles for the join."""
     from .shipping import ensure_shipped
 
     ensure_shipped(docs.sparkSession)
@@ -313,6 +320,8 @@ def rewrite_documents_dedup(
         F.element_at("spans", 1)["text"].alias("_out_text"),
     )
 
+    if broadcast_rewritten:
+        rewritten = F.broadcast(rewritten)
     new_text = (
         text_rows.join(rewritten, "_h")
         .select(

@@ -200,6 +200,14 @@ def test_dedup_rewrite_matches_direct_path(spark):
         for r in rewrite_documents_dedup(docs, "relaxed").collect()
     }
     assert direct == dedup
+    # broadcast-join flavor: same output, rewritten side broadcast
+    bcast = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in rewrite_documents_dedup(
+            docs, "relaxed", broadcast_rewritten=True
+        ).collect()
+    }
+    assert direct == bcast
 
 
 def test_memo_rewrite_matches_direct_path(spark):
