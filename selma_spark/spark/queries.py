@@ -955,6 +955,46 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_keep_list(spark, sf_dir):
+    """Composed training-data filter: exact-dedup keeper + min token
+    count + stopword-ratio cap, in one pass + one shuffle."""
+    return textops.corpus_keep_list(load(spark, sf_dir, "documents"))
+
+
+ORACLE_KEEP_LIST = f"""
+WITH scored AS (
+  SELECT doc_id, md5(text) AS h,
+    len(string_split(text, ' ')) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '),
+         t -> t IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents),
+keepers AS (SELECT h, min(doc_id) AS doc_id FROM scored GROUP BY h)
+SELECT s.doc_id, CAST(s.n_tokens AS INT) AS n_tokens
+FROM scored s JOIN keepers k ON s.h = k.h AND s.doc_id = k.doc_id
+WHERE s.n_tokens >= 20 AND s.stop_ratio <= 0.5
+ORDER BY s.doc_id
+"""
+
+
+def q_salted_lang_counts(spark, sf_dir):
+    """Explicit two-stage salted aggregation (hot-key spreading) with a
+    deterministic salt so the per-salt partial count is value-checked."""
+    return textops.salted_lang_counts(load(spark, sf_dir, "documents"))
+
+
+ORACLE_SALTED_LANG_COUNTS = """
+WITH staged AS (
+  SELECT lang, doc_id % 8 AS salt,
+         count(*) AS n, sum(length(text)) AS c
+  FROM documents GROUP BY 1, 2)
+SELECT lang, sum(n) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS sum_chars,
+       count(*) AS n_salt_parts
+FROM staged GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ivf_cells(spark, sf_dir):
     """IVF coarse-quantizer cell occupancy (deterministic seed
     centroids: vec_id < 16; argmax cosine, ties -> smallest cid)."""
@@ -1164,6 +1204,8 @@ def build_queries():
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
+        "corpus_keep_list": q_corpus_keep_list,
+        "salted_lang_counts": q_salted_lang_counts,
         "ivf_cells": q_ivf_cells,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1212,6 +1254,8 @@ def build_oracles():
         "media_features": ORACLE_MEDIA_FEATURES,
         "extract_flagship": _flagship_oracle(),
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
+        "corpus_keep_list": ORACLE_KEEP_LIST,
+        "salted_lang_counts": ORACLE_SALTED_LANG_COUNTS,
         "ivf_cells": ORACLE_IVF_CELLS,
         "embedding_topk_ivf": ORACLE_EMBEDDING_TOPK_IVF,
         "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,

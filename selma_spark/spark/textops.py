@@ -382,6 +382,67 @@ def token_counts_bpe(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def corpus_keep_list(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    max_stopword_ratio: float = 0.5,
+) -> DataFrame:
+    """The composed training-data filter a real corpus pass runs: keep a
+    document iff it is (a) the exact-dedup keeper for its content hash
+    (smallest doc_id wins), (b) long enough, and (c) not stopword-soup.
+    One narrow scan computes the signals; the dedup keeper join is the
+    only shuffle (broadcast-ineligible at corpus scale, hash join on the
+    md5 key)."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    scored = documents.select(
+        "doc_id",
+        F.md5("text").alias("_h"),
+        n_tokens.alias("n_tokens"),
+        (n_stop / n_tokens).alias("_stop_ratio"),
+    )
+    keepers = scored.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(keepers, ["_h", "doc_id"])
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("_stop_ratio") <= max_stopword_ratio)
+        )
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def salted_lang_counts(documents: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Explicit two-stage salted aggregation for hot grouping keys: stage
+    1 aggregates on (key, salt) — the hot key's rows spread over n_salts
+    reducers — stage 2 merges the per-salt partials. For algebraic aggs
+    Spark's map-side partial aggregation usually makes this unnecessary;
+    the pattern matters for the non-algebraic cases (collect_list /
+    exact distinct per key) and is pinned here on a deterministic
+    salt (doc_id % n_salts) so the oracle can mirror it."""
+    staged = (
+        documents.select(
+            "lang",
+            F.pmod(F.col("doc_id").cast("bigint"), F.lit(n_salts)).alias("_salt"),
+            F.length("text").alias("_chars"),
+        )
+        .groupBy("lang", "_salt")
+        .agg(F.count("*").alias("_n"), F.sum("_chars").alias("_c"))
+    )
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.sum("_c").alias("sum_chars"),
+            F.count("*").alias("n_salt_parts"),
+        )
+        .orderBy("lang")
+    )
+
+
 def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The full two-stage near-dup pipeline: LSH band join generates
     candidates (cheap, shuffles on the band key only), then exact
