@@ -743,7 +743,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
                         # node.tag_name read per handler: an earlier
                         # handler's rename is visible to later matches
                         or node.tag_name in esel.required_tags
-                    ) and esel.matches(node, stack):
+                    ) and (esel.prefilter_complete or esel.matches(node, stack)):
                         if h.has_end_tag and not node.void:
                             if node.end_tag_handlers is None:
                                 node.end_tag_handlers = []
@@ -761,7 +761,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
                     if tsel is not None and (
                         tsel.required_tags is None
                         or node.tag_name in tsel.required_tags
-                    ) and tsel.matches(node, stack):
+                    ) and (tsel.prefilter_complete or tsel.matches(node, stack)):
                         if node.text_active is None:
                             node.text_active = set()
                         node.text_active.add(h_idx)

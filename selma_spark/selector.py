@@ -130,7 +130,7 @@ class Complex:
 
 
 class CompiledSelector:
-    __slots__ = ("css", "alternatives", "required_tags")
+    __slots__ = ("css", "alternatives", "required_tags", "prefilter_complete")
 
     def __init__(self, css, alternatives):
         self.css = css
@@ -146,6 +146,17 @@ class CompiledSelector:
                 break
             tags.add(t)
         self.required_tags = frozenset(tags) if tags is not None else None
+        # when every alternative is a bare single compound (type-only or
+        # universal), the required_tags prefilter IS the full decision —
+        # dispatch can skip matches() entirely ("*", "img", "a, b" ...)
+        self.prefilter_complete = all(
+            len(alt.parts) == 1
+            and not alt.parts[0].ids
+            and not alt.parts[0].classes
+            and not alt.parts[0].attrs
+            and not alt.parts[0].nots
+            for alt in alternatives
+        )
 
     def matches(self, element_node, ancestors) -> bool:
         for alt in self.alternatives:
