@@ -33,6 +33,17 @@ def spans_df(spark, sf_dir):
     return interleaved_spans(load(spark, sf_dir, "documents"))
 
 
+def load_split(spark, sf_dir, table):
+    """Like load(), pre-split across the session's parallelism. The
+    testdata parquet is ONE file/rowgroup (one input split); a real
+    100TB corpus arrives in thousands of splits, so compute-heavy
+    queries (shingles + 4x md5 per doc) simulate that with an explicit
+    repartition instead of single-tasking the whole table."""
+    return load(spark, sf_dir, table).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # --------------------------------------------------------------------------
 # golden corpus through the distributed pipeline
 # --------------------------------------------------------------------------
@@ -315,7 +326,7 @@ SELECT doc_id, {_MH_COLS} FROM s ORDER BY doc_id
 
 
 def q_near_dup_pairs(spark, sf_dir):
-    return textops.near_dup_pairs(load(spark, sf_dir, "documents"))
+    return textops.near_dup_pairs(load_split(spark, sf_dir, "documents"))
 
 
 # multi-band (b=4, r=1) candidate generation with the bucket-size cap
@@ -344,7 +355,7 @@ ORDER BY doc_a, doc_b
 
 
 def q_near_dup_verified(spark, sf_dir):
-    return textops.near_dup_verified(load(spark, sf_dir, "documents"))
+    return textops.near_dup_verified(load_split(spark, sf_dir, "documents"))
 
 
 ORACLE_NEAR_DUP_VERIFIED = f"""
@@ -1051,7 +1062,7 @@ ORDER BY cosine DESC, b.vec_id LIMIT 10
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 2) via 3-band pigeonhole
     candidates + bit_count verify."""
-    return textops.simhash_near_dup(load(spark, sf_dir, "documents"))
+    return textops.simhash_near_dup(load_split(spark, sf_dir, "documents"))
 
 
 ORACLE_SIMHASH_NEAR_DUP = f"""

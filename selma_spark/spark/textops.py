@@ -121,8 +121,14 @@ def lsh_bands(documents: DataFrame, max_band_size: int = 50) -> DataFrame:
     partition). A bucket that large is a trivially-duplicate cluster:
     its members are caught by exact dedup / the remaining bands, while
     an uncapped O(m^2) band join on a boilerplate-heavy corpus would
-    blow up at scale."""
-    sig = _minhash_df(documents)
+    blow up at scale.
+
+    The signature frame is persisted: the band rows feed the bucket
+    count, the filter, AND both sides of the downstream self-join, and
+    recomputing shingles+4xmd5 per consumer would quadruple the
+    dominant cost. (At petascale you'd materialize signatures to a
+    table once instead of caching — same idea, durable form.)"""
+    sig = _minhash_df(documents).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -449,9 +455,10 @@ def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     shingle-set Jaccard verifies each candidate pair. At 100 TB the
     candidate set is orders of magnitude smaller than all-pairs, so the
     expensive exact step touches only plausible duplicates."""
+    # persisted: the shingle sets feed BOTH sides of the verify join
     sh = documents.select(
         "doc_id", F.array_distinct(_shingles(tokens_col())).alias("sh")
-    )
+    ).persist()
     cands = near_dup_pairs(documents)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
