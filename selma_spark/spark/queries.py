@@ -966,6 +966,44 @@ ORDER BY doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (128-token windows, 16 overlap)."""
+    return textops.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+ORACLE_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+    greatest(1, CAST(ceil((n - 16) / CAST(112 AS DOUBLE)) AS INT)) AS n_chunks
+  FROM t)
+SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+       CAST(least(128, n - u.i * 112) AS INT) AS n_tokens
+FROM c, UNNEST(range(0, n_chunks)) AS u(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub: email + long-digit-run redaction counts."""
+    return textops.redact_pii(load(spark, sf_dir, "documents"))
+
+
+ORACLE_REDACT = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '[0-9]{9,}')) AS INT) AS n_longnums,
+  CAST(length(regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '[0-9]{9,}', '<NUM>', 'g')) AS INT) AS redacted_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_corpus_keep_list(spark, sf_dir):
     """Composed training-data filter: exact-dedup keeper + min token
     count + stopword-ratio cap, in one pass + one shuffle."""
@@ -1215,6 +1253,8 @@ def build_queries():
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
+        "chunk_documents": q_chunk_documents,
+        "redact_pii": q_redact_pii,
         "corpus_keep_list": q_corpus_keep_list,
         "salted_lang_counts": q_salted_lang_counts,
         "ivf_cells": q_ivf_cells,
@@ -1265,6 +1305,8 @@ def build_oracles():
         "media_features": ORACLE_MEDIA_FEATURES,
         "extract_flagship": _flagship_oracle(),
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
+        "chunk_documents": ORACLE_CHUNKS,
+        "redact_pii": ORACLE_REDACT,
         "corpus_keep_list": ORACLE_KEEP_LIST,
         "salted_lang_counts": ORACLE_SALTED_LANG_COUNTS,
         "ivf_cells": ORACLE_IVF_CELLS,

@@ -388,6 +388,69 @@ def token_counts_bpe(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """Token-window chunking with overlap — the standard long-document
+    splitter for a training pipeline. Chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; the last window starts before n_tokens. One narrow pass:
+    sequence + transform + slice, all JVM-side, fan-out via explode."""
+    stride = chunk_tokens - overlap
+    toks = tokens_col()
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.size(
+                F.slice(toks, i * stride + 1, F.lit(chunk_tokens))
+            ).alias("n_tokens"),
+        ),
+    )
+    return (
+        documents.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# Simple ASCII-only patterns with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no \b, no lookaround, explicit classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{9,}"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """PII scrubbing pass: replace email addresses and long digit runs
+    with fixed tags, report per-doc redaction counts and the redacted
+    length. Pure JVM regexp — one narrow pass, no shuffle until the
+    presentation sort."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_email = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+        PII_LONGNUM_RE,
+        "<NUM>",
+    )
+    n_num = F.regexp_count(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), F.lit(PII_LONGNUM_RE)
+    )
+    return documents.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_num.alias("n_longnums"),
+        F.length(redacted).alias("redacted_chars"),
+    ).orderBy("doc_id")
+
+
 def corpus_keep_list(
     documents: DataFrame,
     min_tokens: int = 20,
