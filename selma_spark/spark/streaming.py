@@ -138,6 +138,50 @@ def stream_event_metrics(
     )
 
 
+def stream_dedup_documents(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Streaming exact-dedup: documents arriving within the watermark
+    horizon are deduplicated on their content hash with
+    dropDuplicatesWithinWatermark — the state store evicts hashes older
+    than the watermark, so state is bounded (a plain dropDuplicates
+    would grow state forever at corpus scale). Re-sends of the same
+    payload across micro-batches inside the horizon are suppressed."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA + ", ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    deduped = (
+        stream.withColumn(
+            "_h",
+            F.md5(
+                F.concat_ws(
+                    "\x00",
+                    F.transform(
+                        "spans", lambda s: F.coalesce(s["text"], F.lit(""))
+                    ),
+                )
+            ),
+        )
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --- custom stateful operator ------------------------------------------------
 
 STATE_SCHEMA = "n_events bigint, value_sum double"

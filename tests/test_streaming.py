@@ -156,3 +156,48 @@ def test_stream_rewrite_resumes_from_checkpoint(spark):
         assert lin.agg(F.sum("doc_count")).collect()[0][0] == 200
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_documents(spark):
+    """Duplicate payloads arriving across micro-batches inside the
+    watermark horizon are suppressed; distinct payloads all land."""
+    import pathlib
+
+    from selma_spark.spark.streaming import stream_dedup_documents
+
+    tmp = tempfile.mkdtemp(prefix="selma_sdedup_")
+    try:
+        inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        pathlib.Path(inp).mkdir(parents=True)
+        schema = (
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, ingest_ts timestamp"
+        )
+        import datetime
+
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        rows1 = [
+            ("a", [("text", "<b>same</b>", None, 0)], t0),
+            ("b", [("text", "<i>other</i>", None, 0)], t0),
+        ]
+        # second file: one exact re-send (same payload, new doc_id) and
+        # one genuinely new payload
+        rows2 = [
+            ("c", [("text", "<b>same</b>", None, 0)], t0),
+            ("d", [("text", "<u>fresh</u>", None, 0)], t0),
+        ]
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        q = stream_dedup_documents(spark, inp, outp, ckpt)
+        q.awaitTermination(120)
+        out = spark.read.parquet(outp)
+        texts = sorted(
+            r["spans"][0]["text"] for r in out.collect()
+        )
+        assert texts == ["<b>same</b>", "<i>other</i>", "<u>fresh</u>"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
