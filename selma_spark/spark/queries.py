@@ -1037,7 +1037,7 @@ WITH staged AS (
   SELECT lang, doc_id % 8 AS salt,
          count(*) AS n, sum(length(text)) AS c
   FROM documents GROUP BY 1, 2)
-SELECT lang, sum(n) AS n_docs,
+SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
        CAST(sum(c) AS BIGINT) AS sum_chars,
        count(*) AS n_salt_parts
 FROM staged GROUP BY 1 ORDER BY 1
