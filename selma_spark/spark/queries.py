@@ -966,6 +966,32 @@ ORDER BY doc_id
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the LSH near-dup graph (min-label
+    propagation to fixpoint); cluster_id = keeper doc_id."""
+    return textops.near_dup_clusters(load_split(spark, sf_dir, "documents"))
+
+
+ORACLE_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_LSH_BANDS.format(shingles=_DUCK_SHINGLES)},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cands
+  UNION ALL SELECT doc_b, doc_a FROM cands),
+verts AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lab) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.doc)
+SELECT doc AS doc_id, min(lab) AS cluster_id
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-window chunking (128-token windows, 16 overlap)."""
     return textops.chunk_documents(load(spark, sf_dir, "documents"))
@@ -1253,6 +1279,7 @@ def build_queries():
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
+        "near_dup_clusters": q_near_dup_clusters,
         "chunk_documents": q_chunk_documents,
         "redact_pii": q_redact_pii,
         "corpus_keep_list": q_corpus_keep_list,
@@ -1305,6 +1332,7 @@ def build_oracles():
         "media_features": ORACLE_MEDIA_FEATURES,
         "extract_flagship": _flagship_oracle(),
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
+        "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
         "chunk_documents": ORACLE_CHUNKS,
         "redact_pii": ORACLE_REDACT,
         "corpus_keep_list": ORACLE_KEEP_LIST,

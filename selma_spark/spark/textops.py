@@ -388,6 +388,63 @@ def token_counts_bpe(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def near_dup_clusters(
+    documents: DataFrame,
+    max_band_size: int = 50,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup clustering: connected components over the LSH candidate
+    graph via min-label propagation — each doc in any near-dup pair gets
+    cluster_id = min doc_id of its component, i.e. the keeper a
+    downstream pass would retain. Iterations are join + min-aggregate
+    (both shuffle on doc_id and converge in O(component diameter), which
+    is tiny for near-dup clusters); the loop stops at fixpoint. At
+    serious scale you'd upgrade to large-star/small-star to cut the
+    iteration count on high-diameter graphs — same join primitives."""
+    # localCheckpoint truncates lineage each round — without it the
+    # iterative plan nests one union+join+agg per round and analysis/
+    # codegen blow up exponentially (the standard Spark iterative-
+    # algorithm trap)
+    pairs = near_dup_pairs(
+        documents, max_band_size=max_band_size
+    ).localCheckpoint()
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges["dst"] == labels["doc_id"]
+        ).select(edges["src"].alias("doc_id"), "label")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "_old"), "doc_id"
+            )
+            .where(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 def chunk_documents(
     documents: DataFrame, chunk_tokens: int = 128, overlap: int = 16
 ) -> DataFrame:
