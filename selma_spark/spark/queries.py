@@ -966,6 +966,33 @@ ORDER BY doc_id
 """
 
 
+def q_top_terms(spark, sf_dir):
+    """Per-doc top-3 salient terms, BM25-ish rational idf."""
+    return textops.top_terms_tfidf(load(spark, sf_dir, "documents"))
+
+
+ORACLE_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (n.nd - df.df + 0.5) / (df.df + 0.5) AS score
+  FROM tf JOIN df ON tf.term = df.term, n),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored)
+SELECT doc_id, CAST(rk AS INT) AS rk, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 4) AS score
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Connected components over the LSH near-dup graph (min-label
     propagation to fixpoint); cluster_id = keeper doc_id."""
@@ -1279,6 +1306,7 @@ def build_queries():
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
+        "top_terms": q_top_terms,
         "near_dup_clusters": q_near_dup_clusters,
         "chunk_documents": q_chunk_documents,
         "redact_pii": q_redact_pii,
@@ -1332,6 +1360,7 @@ def build_oracles():
         "media_features": ORACLE_MEDIA_FEATURES,
         "extract_flagship": _flagship_oracle(),
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
+        "top_terms": ORACLE_TOP_TERMS,
         "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
         "chunk_documents": ORACLE_CHUNKS,
         "redact_pii": ORACLE_REDACT,

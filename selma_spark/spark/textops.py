@@ -388,6 +388,44 @@ def token_counts_bpe(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def top_terms_tfidf(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k salient terms, BM25-ish: score = tf * (N - df
+    + 0.5) / (df + 0.5). The idf factor is RATIONAL (no log) so the
+    score is bit-identical across engines — ln() would differ in the
+    last ulp between libms and break value parity.
+
+    Shape at scale: explode is narrow, tf and df are two partial-agg
+    shuffles, the idf join shuffles on term (term table << corpus), and
+    the top-k window is PARTITIONED by doc_id."""
+    from pyspark.sql.window import Window
+
+    terms = documents.select(
+        "doc_id", F.explode(tokens_col()).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.col("_n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "doc_id", "rk", "term", "tf", "df", F.round("score", 4).alias("score")
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
 def near_dup_clusters(
     documents: DataFrame,
     max_band_size: int = 50,
