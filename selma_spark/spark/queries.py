@@ -572,6 +572,58 @@ def q_golden_sql_udf(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 30 minutes. Both windows are PARTITIONED by
+    user_id (lag + running sum) — no global sort; per-session rollup is
+    one more user-partitioned shuffle."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: compare the interval difference directly
+    # (no epoch cast — NTZ refuses numeric casts, and tz offsets would
+    # cancel anyway)
+    new_sess = F.when(
+        F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_USER_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_event_window_rollup(spark, sf_dir):
     """Tumbling-window rollup over the events table — the batch-semantics
     twin of streaming.windowed_event_metrics (decimal sums for exact
@@ -1294,6 +1346,7 @@ def build_queries():
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_near_dup": q_embedding_near_dup,
         "event_window_rollup": q_event_window_rollup,
+        "user_sessions": q_user_sessions,
         "golden_sql_udf": q_golden_sql_udf,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk": q_embedding_topk,
@@ -1348,6 +1401,7 @@ def build_oracles():
         "rolling_fingerprints": ORACLE_ROLLING_FP,
         "embedding_near_dup": _near_dup_cosine_oracle(),
         "event_window_rollup": ORACLE_EVENT_WINDOW,
+        "user_sessions": ORACLE_USER_SESSIONS,
         "golden_sql_udf": _golden_oracle(STRINGS),
         "embedding_topk_lsh": _lsh_topk_oracle(),
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
