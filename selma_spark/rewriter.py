@@ -504,6 +504,10 @@ def _sanitize_pass(html, sanitizer) -> str:
     out: list[str] = []
     emit = out.append
     stack: list[list] = []
+    # open-element name counts: O(1) orphan-end-tag rejection (a flood
+    # of unmatched end tags over a deep stack would otherwise scan the
+    # whole stack per tag — an adversarial quadratic)
+    open_counts: dict = {}
     suppress = 0
     allow_comments = sanitizer.allow_comments
     allow_doctype = sanitizer.allow_doctype
@@ -548,6 +552,7 @@ def _sanitize_pass(html, sanitizer) -> str:
                 if suppress == 0:
                     keep(tok)
                 if not no_end:
+                    open_counts[name] = open_counts.get(name, 0) + 1
                     stack.append([name, False, True, None])
                 continue
 
@@ -556,6 +561,7 @@ def _sanitize_pass(html, sanitizer) -> str:
                 if remove_contents:
                     if no_end:
                         continue  # tag dropped, nothing to suppress
+                    open_counts[name] = open_counts.get(name, 0) + 1
                     stack.append([name, True, False, None])
                     suppress += 1
                 else:
@@ -563,6 +569,7 @@ def _sanitize_pass(html, sanitizer) -> str:
                         flush()
                         emit(" ")  # before (void: the single space)
                     if not no_end:
+                        open_counts[name] = open_counts.get(name, 0) + 1
                         stack.append(
                             [name, False, False, " " if wrap_ws else None]
                         )
@@ -574,6 +581,7 @@ def _sanitize_pass(html, sanitizer) -> str:
             mode = node.removed_mode
             if mode == "content":  # force-removed via <!-- attr
                 if not no_end:
+                    open_counts[name] = open_counts.get(name, 0) + 1
                     stack.append([name, True, False, None])
                     suppress += 1
                 continue
@@ -593,27 +601,30 @@ def _sanitize_pass(html, sanitizer) -> str:
                 else:
                     keep(tok)
             if node.inner_content is not None and not no_end:
+                open_counts[name] = open_counts.get(name, 0) + 1
                 stack.append([name, True, True, None])
                 suppress += 1
             elif not no_end:
+                open_counts[name] = open_counts.get(name, 0) + 1
                 stack.append([name, False, True, None])
             continue
 
         if kind == tk.END_TAG:
             name = tok.name
-            idx = None
+            if not open_counts.get(name):
+                if suppress == 0:
+                    keep(tok)  # orphan end tag passes through
+                continue
             for k in range(len(stack) - 1, -1, -1):
                 if stack[k][0] == name:
                     idx = k
                     break
-            if idx is None:
-                if suppress == 0:
-                    keep(tok)  # orphan end tag passes through
-                continue
             for entry in stack[idx + 1 :]:
                 if entry[1]:
                     suppress -= 1
+                open_counts[entry[0]] -= 1
             closing = stack[idx]
+            open_counts[name] -= 1
             del stack[idx:]
             if closing[1]:
                 suppress -= 1
@@ -645,6 +656,9 @@ def _run_pass(html, sanitizer, handlers) -> str:
     out: list[str] = []
     emit = out.append
     stack: list[_Node] = []       # matching stack (implicit pops)
+    # open-element name counts: O(1) orphan-end-tag rejection (see
+    # _sanitize_pass — same adversarial-quadratic guard)
+    open_counts: dict = {}
     ruby_stack: list[str] = []    # Selma-style ancestors stack
     suppress = 0
     any_text_handlers = any(h.selector.text_selector for h in handlers)
@@ -803,6 +817,9 @@ def _run_pass(html, sanitizer, handlers) -> str:
                     for p in node.after_parts:
                         emit(p)
             else:
+                open_counts[node.orig_name] = (
+                    open_counts.get(node.orig_name, 0) + 1
+                )
                 stack.append(node)
 
             if not node.void:
@@ -811,21 +828,22 @@ def _run_pass(html, sanitizer, handlers) -> str:
 
         if kind == tk.END_TAG:
             name = tok.name
+            if not open_counts.get(name):
+                if suppress == 0:
+                    keep(tok.start, tok.end)  # orphan end tag verbatim
+                continue
             # find innermost open element with this (original) name
-            idx = None
             for k in range(len(stack) - 1, -1, -1):
                 if stack[k].orig_name == name:
                     idx = k
                     break
-            if idx is None:
-                if suppress == 0:
-                    keep(tok.start, tok.end)  # orphan end tag verbatim
-                continue
             # implicit closes above the match: no end-tag events fire
             for node in stack[idx + 1 :]:
                 if node.suppressing:
                     suppress -= 1
+                open_counts[node.orig_name] -= 1
             closing = stack[idx]
+            open_counts[name] -= 1
             del stack[idx:]
 
             if closing.end_tag_handlers:

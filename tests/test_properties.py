@@ -136,3 +136,24 @@ def test_sanitize_fast_path_equals_handler_path(html):
         fast = Rewriter(sanitizer=cfg).rewrite(html)
         slow = Rewriter(sanitizer=cfg, handlers=[_NeverMatches()]).rewrite(html)
         assert fast == slow, (html, fast, slow)
+
+
+def test_orphan_end_tag_flood_is_linear():
+    """Adversarial input: a deep open stack followed by a flood of
+    UNMATCHED end tags. Each orphan must be rejected O(1) via the
+    open-name counts (a per-orphan stack scan is quadratic: 20k x 20k
+    would take minutes). 2s is an order-of-magnitude guard band."""
+    import time
+
+    from selma_spark import sanitizer as S
+    from selma_spark.rewriter import Rewriter
+
+    html = "<b>" * 20000 + "</i>" * 20000
+    for cfg, handlers in ((S.RELAXED, []), (None, [_NeverMatches()])):
+        r = Rewriter(sanitizer=cfg, handlers=handlers)
+        t0 = time.perf_counter()
+        out = r.rewrite(html)
+        assert time.perf_counter() - t0 < 2.0
+        # orphan end tags still pass through verbatim where allowed
+        if cfg is None:
+            assert out.count("</i>") == 20000
