@@ -691,12 +691,19 @@ def _run_pass(html, sanitizer, handlers) -> str:
         kind = tok.kind
 
         if kind == tk.TEXT:
-            # coalesce adjacent text tokens (stray "<" fragments); they
-            # are contiguous in source, so the run is one slice
+            # coalesce CONTIGUOUS text tokens (stray "<" fragments) into
+            # one slice. Contiguity must be checked: a dropped construct
+            # ("</>") between two text tokens leaves a source gap, and a
+            # blind start..end slice would resurrect the dropped bytes
+            # (caught by differential fuzz; _sanitize_pass is gap-safe)
             t_start = tok.start
             t_end = tok.end
             text_type = tok.text_type
-            while ti + 1 < ntok and tokens[ti + 1].kind == tk.TEXT:
+            while (
+                ti + 1 < ntok
+                and tokens[ti + 1].kind == tk.TEXT
+                and tokens[ti + 1].start == t_end
+            ):
                 ti += 1
                 t_end = tokens[ti].end
             ti += 1

@@ -23,6 +23,7 @@ _fragments = st.lists(
         "<foo bar>", "</foo>", "1 < 2", "<p id=a>", "</p>",
         '<a href=" javascript:x">', "<plaintext>", "<xmp>y</xmp>",
         "<span>", "</span>", "<b ", 'attr="v">', "<meta charset='x'>",
+        "</>", "</ x>", "<?pi?>", "<![CDATA[q]]>", "é中文",
     ]),
     max_size=20,
 ).map("".join)
@@ -67,12 +68,18 @@ def test_tokenizer_is_lossless_modulo_dropped_constructs(html):
     dropped constructs: incomplete tags at EOF, '</>', and lone '<' at
     EOF. We verify the reassembly is a prefix + the dropped tail."""
     toks = tokenize(html)
-    joined = "".join(t.raw for t in toks)
-    cleaned = html.replace("</>", "")
-    assert cleaned.startswith(joined)
-    tail = cleaned[len(joined):]
-    # anything dropped must be one trailing incomplete construct
-    assert tail == "" or tail.startswith("<")
+    # token ranges are in order and non-overlapping; every GAP between
+    # consecutive tokens (and any dropped tail) is a dropped construct,
+    # which always begins with '<' ("</>" or an incomplete tag at EOF)
+    pos = 0
+    for t in toks:
+        assert t.start >= pos, (html, t)
+        gap = html[pos:t.start]
+        assert gap == "" or gap.startswith("<"), (html, gap)
+        assert t.raw == html[t.start:t.end]
+        pos = t.end
+    tail = html[pos:]
+    assert tail == "" or tail.startswith("<"), (html, tail)
 
 
 @given(_fragments)
@@ -157,3 +164,17 @@ def test_orphan_end_tag_flood_is_linear():
         # orphan end tags still pass through verbatim where allowed
         if cfg is None:
             assert out.count("</i>") == 20000
+
+
+def test_dropped_empty_end_tag_never_resurrects():
+    """'</>' is dropped by the tokenizer; the handler path's text
+    coalescing must not slice across the gap and re-emit it (caught by
+    the 50k-case differential fuzz)."""
+    import selma_spark.rewriter as R
+    from selma_spark.sanitizer import Sanitizer
+
+    for html in ('a</>b', 'x</></>y', '1 < 2</>tail', "<b>t</>u</b>"):
+        for cfg in (S.DEFAULT, S.RELAXED):
+            san = Sanitizer(cfg)
+            assert R._sanitize_pass(html, san) == R._run_pass(html, san, [])
+            assert "</>" not in R._run_pass(html, san, [])
