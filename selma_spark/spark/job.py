@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--byte-weighted", action="store_true",
                    help="byte-balanced bucketing for skewed corpora")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--sink", default="parquet",
+                   help="output sink: parquet (default) | iceberg "
+                        "(then --output is a catalog table name)")
     p.add_argument("--extract", action="store_true",
                    help="also strip boilerplate via ContentExtractor")
     return p
@@ -65,6 +68,11 @@ def main(argv=None) -> int:
 
             return [ContentExtractor()]
 
+    sink = None
+    if args.sink == "iceberg":
+        from selma_spark.spark.pipeline import IcebergSink  # noqa: PLC0415
+
+        sink = IcebergSink(args.output, n_buckets=args.buckets)
     res = run_pipeline(
         spark,
         docs,
@@ -74,8 +82,12 @@ def main(argv=None) -> int:
         n_buckets=args.buckets,
         byte_weighted=args.byte_weighted,
         resume=not args.no_resume,
+        sink=sink,
     )
-    n = spark.read.parquet(res.output_path).count()
+    if args.sink == "iceberg":
+        n = spark.read.table(res.output_path).count()
+    else:
+        n = spark.read.parquet(res.output_path).count()
     print(f"selma-spark: wrote {n} documents -> {res.output_path}")
     print(f"lineage: {res.lineage_path}  metrics: {res.metrics_path}")
     return 0
