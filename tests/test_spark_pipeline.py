@@ -379,3 +379,46 @@ def test_sql_function_main_content(spark):
         "text threshold for a main-content block easily.</p></div>') AS m"
     ).collect()[0]
     assert "real article body" in row["m"] and "Home" not in row["m"]
+
+
+def test_spark_submit_pyfiles_launch(spark):
+    """North-rule launch mode: spark-submit --py-files <zip> job.py must
+    run the resumable pipeline end-to-end with the package provided ONLY
+    by the zip (cwd is outside the repo)."""
+    import os
+    import subprocess
+    import sys
+
+    import pyspark
+
+    from selma_spark.spark.shipping import build_pyfiles_zip
+
+    zip_path = build_pyfiles_zip()
+    tmp = tempfile.mkdtemp(prefix="selma_submit_")
+    try:
+        docs = interleaved_spans(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ).limit(50)
+        docs.write.parquet(f"{tmp}/input")
+        spark_submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+        env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+        env.pop("PYTHONPATH", None)
+        proc = subprocess.run(
+            [
+                spark_submit, "--master", "local[2]",
+                "--py-files", zip_path,
+                "--conf", "spark.ui.enabled=false",
+                "/root/repo/selma_spark/spark/job.py",
+                "--input", f"{tmp}/input", "--output", f"{tmp}/out",
+                "--config", "relaxed", "--buckets", "2",
+            ],
+            cwd=tmp, env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "wrote 50 documents" in proc.stdout, proc.stdout
+        out = spark.read.parquet(f"{tmp}/out/documents")
+        assert out.count() == 50
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
