@@ -28,6 +28,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter pruning for the big shuffle joins (dedup
+        # hash joins, LSH band joins): the probe side skips rows whose
+        # keys can't match before the shuffle
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         # arrow hop JVM<->python: the only serialization boundary in the
