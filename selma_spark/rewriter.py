@@ -534,14 +534,15 @@ def _sanitize_pass(html, sanitizer) -> str:
             run_start = -1
             run_end = -1
 
+    TEXT, START_TAG, END_TAG, COMMENT = tk.TEXT, tk.START_TAG, tk.END_TAG, tk.COMMENT
     for tok in tokens:
         kind = tok.kind
-        if kind == tk.TEXT:
+        if kind == TEXT:
             if suppress == 0:
                 keep(tok)
             continue
 
-        if kind == tk.START_TAG:
+        if kind == START_TAG:
             name = tok.name
             action = action_for(name)
             void = name in VOID_TAGS
@@ -609,7 +610,7 @@ def _sanitize_pass(html, sanitizer) -> str:
                 stack.append([name, False, True, None])
             continue
 
-        if kind == tk.END_TAG:
+        if kind == END_TAG:
             name = tok.name
             if not open_counts.get(name):
                 if suppress == 0:
@@ -636,7 +637,7 @@ def _sanitize_pass(html, sanitizer) -> str:
                     emit(closing[3])
             continue
 
-        if kind == tk.COMMENT:
+        if kind == COMMENT:
             if allow_comments and suppress == 0:
                 keep(tok)
             continue
@@ -686,11 +687,13 @@ def _run_pass(html, sanitizer, handlers) -> str:
 
     ntok = len(tokens)
     ti = 0
+    # hoist kind constants: 2-3 module-attr lookups per token otherwise
+    TEXT, START_TAG, END_TAG, COMMENT = tk.TEXT, tk.START_TAG, tk.END_TAG, tk.COMMENT
     while ti < ntok:
         tok = tokens[ti]
         kind = tok.kind
 
-        if kind == tk.TEXT:
+        if kind == TEXT:
             # coalesce CONTIGUOUS text tokens (stray "<" fragments) into
             # one slice. Contiguity must be checked: a dropped construct
             # ("</>") between two text tokens leaves a source gap, and a
@@ -701,7 +704,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
             text_type = tok.text_type
             while (
                 ti + 1 < ntok
-                and tokens[ti + 1].kind == tk.TEXT
+                and tokens[ti + 1].kind == TEXT
                 and tokens[ti + 1].start == t_end
             ):
                 ti += 1
@@ -747,7 +750,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
 
         ti += 1
 
-        if kind == tk.START_TAG:
+        if kind == START_TAG:
             node = _Node(tok)
             name = node.orig_name
 
@@ -833,7 +836,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
                 ruby_stack.append(node.orig_name)
             continue
 
-        if kind == tk.END_TAG:
+        if kind == END_TAG:
             name = tok.name
             if not open_counts.get(name):
                 if suppress == 0:
@@ -892,7 +895,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
                         emit(p)
             continue
 
-        if kind == tk.COMMENT:
+        if kind == COMMENT:
             if sanitizer is not None and not sanitizer.allow_comments:
                 pass  # removed
             elif suppress == 0:
