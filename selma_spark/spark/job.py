@@ -33,8 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="byte-balanced bucketing for skewed corpora")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--sink", default="parquet",
-                   help="output sink: parquet (default) | iceberg "
-                        "(then --output is a catalog table name)")
+                   choices=("parquet", "iceberg"),
+                   help="output sink (iceberg: --output is a catalog "
+                        "table name)")
     p.add_argument("--extract", action="store_true",
                    help="also strip boilerplate via ContentExtractor")
     return p

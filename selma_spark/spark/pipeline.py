@@ -497,11 +497,16 @@ class ParquetSink:
 
 class IcebergSink:
     """Iceberg sink seam (SURVEY §1.2/§4): same contract as ParquetSink
-    but writing through the DataFrameWriterV2 API into catalog tables
-    partitioned by bucket(doc_id) — hidden partitioning, so readers
-    prune on doc_id without knowing the bucket function. Resume uses
-    overwritePartitions() (replaces only the buckets present in the
-    incoming frame — the Iceberg twin of dynamic partition overwrite).
+    but writing through the DataFrameWriterV2 API into catalog tables.
+
+    The table is partitioned by the pipeline's OWN ``bucket`` column
+    (identity partition), NOT by Iceberg's hidden bucket(doc_id)
+    transform: resume correctness requires that overwritePartitions()
+    replaces exactly the resume buckets present in the incoming frame.
+    A hidden murmur3 bucket(doc_id) transform would not align with the
+    pipeline's pmod(xxhash64(doc_id)) buckets, so a resumed run's
+    remainder docs would scatter across (and overwrite) partitions
+    holding completed documents.
 
     This container ships no Iceberg runtime jars (CLAUDE.md), so the
     class is exercised by a skip-if-missing test; with
@@ -520,11 +525,9 @@ class IcebergSink:
     def write_documents(self, df):
         spark = df.sparkSession
         if not spark.catalog.tableExists(self.output_path):
-            (
-                df.writeTo(self.output_path)
-                .partitionedBy(F.bucket(self.n_buckets, "doc_id"))
-                .create()
-            )
+            # identity partition on the resume bucket column: aligned
+            # with the lineage anti-join and dynamic-overwrite contract
+            df.writeTo(self.output_path).partitionedBy("bucket").create()
         else:
             df.writeTo(self.output_path).overwritePartitions()
 

@@ -156,18 +156,23 @@ def stream_dedup_documents(
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
-    deduped = (
-        stream.withColumn(
-            "_h",
-            F.md5(
-                F.concat_ws(
-                    "\x00",
-                    F.transform(
-                        "spans", lambda s: F.coalesce(s["text"], F.lit(""))
-                    ),
-                )
+    # per-span fingerprint covers kind + text + media_ref, with NULL
+    # text disambiguated from '' (the same null-vs-empty collision fixed
+    # in rewrite_documents_dedup) — two distinct media-only docs must
+    # NOT collide and be dropped as duplicates
+    span_fp = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "\x01",
+            s["kind"],
+            F.when(s["text"].isNull(), F.lit("null:")).otherwise(
+                F.concat(F.lit("md5:"), F.md5(s["text"]))
             ),
-        )
+            F.coalesce(s["media_ref"], F.lit("")),
+        ),
+    )
+    deduped = (
+        stream.withColumn("_h", F.md5(F.concat_ws("\x00", span_fp)))
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")

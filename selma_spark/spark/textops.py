@@ -126,9 +126,12 @@ def lsh_bands(documents: DataFrame, max_band_size: int = 50) -> DataFrame:
     The signature frame is persisted: the band rows feed the bucket
     count, the filter, AND both sides of the downstream self-join, and
     recomputing shingles+4xmd5 per consumer would quadruple the
-    dominant cost. (At petascale you'd materialize signatures to a
-    table once instead of caching — same idea, durable form.)"""
-    sig = _minhash_df(documents).persist()
+    dominant cost. localCheckpoint (not persist) so the cached blocks
+    are released by the driver GC when the result goes out of scope —
+    CacheManager-registered persists live for the whole session. (At
+    petascale you'd materialize signatures to a table once instead —
+    same idea, durable form.)"""
+    sig = _minhash_df(documents).localCheckpoint()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -457,6 +460,7 @@ def near_dup_clusters(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         nbr = edges.join(
             labels, edges["dst"] == labels["doc_id"]
@@ -478,6 +482,13 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # fail loudly: partially-propagated labels would silently split
+        # one component into several clusters
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within {max_iter} "
+            "rounds (component diameter too large); raise max_iter"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
@@ -613,10 +624,10 @@ def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     shingle-set Jaccard verifies each candidate pair. At 100 TB the
     candidate set is orders of magnitude smaller than all-pairs, so the
     expensive exact step touches only plausible duplicates."""
-    # persisted: the shingle sets feed BOTH sides of the verify join
+    # checkpointed: the shingle sets feed BOTH sides of the verify join
     sh = documents.select(
         "doc_id", F.array_distinct(_shingles(tokens_col())).alias("sh")
-    ).persist()
+    ).localCheckpoint()
     cands = near_dup_pairs(documents)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
