@@ -78,6 +78,7 @@ class _Node:
         "modified", "removed_mode", "suppressing",
         "before_parts", "prepend_parts", "append_parts", "after_parts",
         "inner_content", "text_active", "end_tag_handlers", "end_removed",
+        "_byte_info",
     )
 
     def __init__(self, tok: tk.Token):
@@ -101,6 +102,7 @@ class _Node:
         self.text_active = None  # set[int] of handler indices
         self.end_tag_handlers = None
         self.end_removed = False
+        self._byte_info = None  # memo: (src_is_ascii, tag_byte_base)
 
     @property
     def raw_name(self) -> str:
@@ -236,13 +238,28 @@ class Element:
             if a.name == want:
                 if not a.has_value:
                     return None
-                src = self._node._tok.src
-                if src.isascii():
+                node = self._node
+                tok = node._tok
+                src = tok.src
+                # memoized per node: one isascii scan + one prefix
+                # encode per ELEMENT, not per attribute query (repeated
+                # O(document) work on big non-ASCII pages otherwise)
+                info = node._byte_info
+                if info is None:
+                    is_ascii = src.isascii()
+                    base = (
+                        None
+                        if is_ascii
+                        else len(src[: tok.start].encode("utf-8"))
+                    )
+                    info = node._byte_info = (is_ascii, base)
+                is_ascii, base = info
+                if is_ascii:
                     return {"name": a.name_span, "value": a.value_span}
 
                 def to_bytes(span):
                     s, e = span
-                    pre = len(src[:s].encode("utf-8"))
+                    pre = base + len(src[tok.start:s].encode("utf-8"))
                     return (pre, pre + len(src[s:e].encode("utf-8")))
 
                 return {

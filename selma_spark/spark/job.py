@@ -73,7 +73,7 @@ def main(argv=None) -> int:
     if args.sink == "iceberg":
         from selma_spark.spark.pipeline import IcebergSink  # noqa: PLC0415
 
-        sink = IcebergSink(args.output, n_buckets=args.buckets)
+        sink = IcebergSink(args.output)
     res = run_pipeline(
         spark,
         docs,

@@ -277,10 +277,11 @@ def rewrite_documents_dedup(
     stay narrow.
 
     ``broadcast_rewritten=True`` hints the rewritten-distinct side into a
-    broadcast hash join (executor-side broadcast, no driver round-trip)
-    — the right call when the distinct-payload set is known small but
-    you'd rather not collect it to the driver as rewrite_documents_memo
-    does; the corpus side then never shuffles for the join."""
+    broadcast hash join so the corpus side never shuffles for the join.
+    Like any broadcast (and like rewrite_documents_memo), the build side
+    still transits the driver in BroadcastExchange — only use it when
+    the distinct-payload set is known to fit comfortably in driver and
+    executor memory."""
     from .shipping import ensure_shipped
 
     ensure_shipped(docs.sparkSession)
@@ -513,11 +514,10 @@ class IcebergSink:
     spark.sql.catalog.* configured it drops in via
     run_pipeline(..., sink=IcebergSink(\"catalog.db.docs\"))."""
 
-    def __init__(self, table: str, n_buckets: int = 64):
+    def __init__(self, table: str):
         self.output_path = table
         self.lineage_path = f"{table}_lineage"
         self.metrics_path = f"{table}_metrics"
-        self.n_buckets = n_buckets
 
     def prepare(self, spark):
         pass

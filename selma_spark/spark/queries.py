@@ -1096,6 +1096,7 @@ def q_redact_pii(spark, sf_dir):
 
 
 ORACLE_REDACT = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
     AS n_emails,
@@ -1105,7 +1106,7 @@ SELECT doc_id,
   CAST(length(regexp_replace(
         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         '[0-9]{9,}', '<NUM>', 'g')) AS INT) AS redacted_chars
-FROM documents ORDER BY doc_id
+FROM d ORDER BY doc_id
 """
 
 

@@ -164,15 +164,21 @@ def stream_dedup_documents(
         "spans",
         lambda s: F.concat_ws(
             "\x01",
-            s["kind"],
+            F.coalesce(s["kind"], F.lit("")),
             F.when(s["text"].isNull(), F.lit("null:")).otherwise(
                 F.concat(F.lit("md5:"), F.md5(s["text"]))
             ),
             F.coalesce(s["media_ref"], F.lit("")),
         ),
     )
+    # NULL spans array must not collide with the empty array (both would
+    # reduce to concat_ws('') otherwise) — same null-vs-empty class as
+    # the per-span text marker above
+    doc_fp = F.when(F.col("spans").isNull(), F.lit("nullspans:")).otherwise(
+        F.concat(F.lit("spans:"), F.md5(F.concat_ws("\x00", span_fp)))
+    )
     deduped = (
-        stream.withColumn("_h", F.md5(F.concat_ws("\x00", span_fp)))
+        stream.withColumn("_h", doc_fp)
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")

@@ -52,14 +52,20 @@ def token_counts(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _stopword_hits(toks):
+    """Count of STOPWORDS occurrences — shared by quality_scores and
+    corpus_keep_list so the ratio definition cannot drift."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality signals: length, token count, mean token length,
     stopword ratio — the standard cheap pre-filters for a training
     corpus."""
     toks = tokens_col()
     n_tokens = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = _stopword_hits(toks)
     return documents.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -570,14 +576,14 @@ def corpus_keep_list(
     md5 key)."""
     toks = tokens_col()
     n_tokens = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = _stopword_hits(toks)
     scored = documents.select(
         "doc_id",
         F.md5("text").alias("_h"),
         n_tokens.alias("n_tokens"),
         (n_stop / n_tokens).alias("_stop_ratio"),
     )
+    # keeper rule shared with dedup_exact: smallest doc_id per hash
     keepers = scored.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
     return (
         scored.join(keepers, ["_h", "doc_id"])

@@ -322,7 +322,7 @@ def test_iceberg_sink_seam(spark):
     the Iceberg classes are absent."""
     from selma_spark.spark.pipeline import IcebergSink
 
-    sink = IcebergSink("local.db.docs", n_buckets=4)
+    sink = IcebergSink("local.db.docs")
     assert sink.output_path == "local.db.docs"
     assert sink.lineage_path == "local.db.docs_lineage"
     docs = make_span_docs(spark)
@@ -391,6 +391,7 @@ def test_spark_submit_pyfiles_launch(spark):
 
     import pyspark
 
+    import selma_spark.spark.job as job_mod
     from selma_spark.spark.shipping import build_pyfiles_zip
 
     zip_path = build_pyfiles_zip()
@@ -410,7 +411,7 @@ def test_spark_submit_pyfiles_launch(spark):
                 spark_submit, "--master", "local[2]",
                 "--py-files", zip_path,
                 "--conf", "spark.ui.enabled=false",
-                "/root/repo/selma_spark/spark/job.py",
+                job_mod.__file__,
                 "--input", f"{tmp}/input", "--output", f"{tmp}/out",
                 "--config", "relaxed", "--buckets", "2",
             ],
