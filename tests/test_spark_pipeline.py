@@ -315,6 +315,58 @@ def test_memo_byte_cap_falls_back_before_collect(spark):
     assert out == direct
 
 
+def test_rewrite_paths_agree_on_random_dirty_corpus(spark):
+    """Seeded random corpus exercising every dirty shape at once — NULL
+    spans, empty arrays, NULL/empty text, media-only docs, duplicate
+    payloads, multibyte text, skewed sizes — must produce identical
+    span sequences through the narrow, dedup-join, and broadcast-memo
+    paths."""
+    import random
+
+    from selma_spark.spark.pipeline import (
+        rewrite_documents_dedup,
+        rewrite_documents_memo,
+    )
+
+    rng = random.Random(20260816)
+    payload_pool = [
+        "<b>dup</b>", "<script>x</script>", "plain é中文 text", "",
+        "<div><a href='/x'>l</a></div>", "<p>" + "w " * 40 + "</p>",
+        "<iframe>f</iframe>", "1 < 2 & 3", None, "<title>t</title>",
+    ]
+    rows = []
+    for i in range(120):
+        shape = rng.random()
+        if shape < 0.05:
+            rows.append((f"d{i}", None))
+            continue
+        if shape < 0.1:
+            rows.append((f"d{i}", []))
+            continue
+        spans = []
+        for off in range(rng.randint(1, 4)):
+            if rng.random() < 0.25:
+                spans.append(("media", None, f"media://{i}/{off}", off))
+            else:
+                spans.append(("text", rng.choice(payload_pool), None, off))
+        rows.append((f"d{i}", spans))
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(rows, schema)
+    for cfg in ("default", "relaxed"):
+        expected = {
+            r["doc_id"]: r["spans"]
+            for r in rewrite_documents(docs, cfg).collect()
+        }
+        for variant in (rewrite_documents_dedup, rewrite_documents_memo):
+            got = {
+                r["doc_id"]: r["spans"] for r in variant(docs, cfg).collect()
+            }
+            assert got == expected, (cfg, variant.__name__)
+
+
 def test_iceberg_sink_seam(spark):
     """run_pipeline(sink=IcebergSink(...)) is the swap-in path for
     clusters with Iceberg jars; this container has none (CLAUDE.md), so
