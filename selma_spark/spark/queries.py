@@ -505,7 +505,9 @@ FROM h ORDER BY doc_id
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return simsearch.near_dup_cosine(load(spark, sf_dir, "embeddings"))
+    # pre-split: the in-bucket pair join + 64-dim dot products are the
+    # heaviest embedding op and the testdata parquet is one split
+    return simsearch.near_dup_cosine(load_split(spark, sf_dir, "embeddings"))
 
 
 def _near_dup_cosine_oracle() -> str:
