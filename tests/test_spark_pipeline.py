@@ -144,6 +144,56 @@ def test_run_pipeline_writes_and_resumes(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_run_pipeline_resumes_after_partial_failure(spark):
+    """Crash-mid-run semantics: lineage records only SOME buckets 'ok'
+    and the others' data is gone. The restart must recompute exactly the
+    missing buckets while leaving completed bucket files untouched."""
+    import glob
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="selma_partial_")
+    try:
+        docs = interleaved_spans(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        )
+        res = run_pipeline(spark, docs, tmp, config="default", n_buckets=4)
+        lineage = spark.read.parquet(res.lineage_path)
+        keep_buckets = {0, 1}
+
+        # simulate the crash: drop buckets 2/3's output AND their
+        # lineage rows (as if the job died before committing them)
+        partial = lineage.where(F.col("partition_id").isin(*keep_buckets))
+        partial.write.mode("overwrite").parquet(f"{tmp}/lineage_partial")
+        spark.catalog.refreshByPath(f"{tmp}/lineage_partial")
+        spark.read.parquet(f"{tmp}/lineage_partial").write.mode(
+            "overwrite"
+        ).parquet(res.lineage_path)
+        spark.catalog.refreshByPath(res.lineage_path)
+        for b in (2, 3):
+            shutil.rmtree(f"{res.output_path}/bucket={b}", ignore_errors=True)
+        # fingerprint the COMPLETED buckets' files (mtime+size): the
+        # restart must not rewrite them
+        def snap():
+            return {
+                p: (os.path.getmtime(p), os.path.getsize(p))
+                for b in keep_buckets
+                for p in glob.glob(f"{res.output_path}/bucket={b}/*.parquet")
+            }
+
+        before = snap()
+        spark.catalog.refreshByPath(res.output_path)
+
+        res2 = run_pipeline(spark, docs, tmp, config="default", n_buckets=4)
+        out = spark.read.parquet(res2.output_path)
+        assert out.count() == docs.count()
+        assert out.select("bucket").distinct().count() == 4
+        assert snap() == before  # completed buckets byte-untouched
+        lineage2 = spark.read.parquet(res2.lineage_path)
+        assert lineage2.where("status = 'ok'").count() == 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_oversized_docs_quarantined(spark):
     docs = make_span_docs(spark)
     inputs = {r["doc_id"]: r["spans"] for r in docs.collect()}
