@@ -69,19 +69,26 @@ def _timed(fn, *args):
     return time.perf_counter() - t0, res
 
 
-def run_at(cpus: int, sf_dir: str):
+def run_at(cpus: int, sf_dir: str, reps: int = 1):
     spark = get_spark(cpus=cpus, app_name=f"selma-bench-{cpus}", arrow_batch_rows=2048)
     # warm the JVM + arrow path on a small slice
     _flagship_count(spark, "/root/testdata/sf0.001", replicate=1)
-    dt, row = _timed(_flagship_count, spark, sf_dir)
+    best_dt = None
+    row = None
+    for _ in range(reps):
+        dt, row = _timed(_flagship_count, spark, sf_dir)
+        if best_dt is None or dt < best_dt:
+            best_dt = dt
     spark.stop()
-    return dt, int(row["docs"]), int(row["chars"])
+    return best_dt, int(row["docs"]), int(row["chars"])
 
 
 def main():
     queries_t = {}
 
-    dt_big, n_docs, n_chars = run_at(CPUS, SF_DIR)
+    # min-of-2 on the headline too: single samples on this VM jitter
+    # +-2x with host throttle phases
+    dt_big, n_docs, n_chars = run_at(CPUS, SF_DIR, reps=2)
     docs_per_sec = n_docs / dt_big
     queries_t["flagship_rewrite"] = round(dt_big, 3)
 
