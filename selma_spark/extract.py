@@ -136,6 +136,24 @@ class TextBreaker:
         element.remove_and_keep_content()
 
 
+class LinkCollector:
+    """Collects every a[href] value — the link-graph extraction pass of
+    a web pipeline, driven by the attribute-selector matcher."""
+
+    SELECTOR = Selector(match_element="a[href]")
+
+    def __init__(self):
+        self.hrefs: list[str] = []
+
+    def selector(self):
+        return self.SELECTOR
+
+    def handle_element(self, element):
+        href = element["href"]
+        if href is not None:
+            self.hrefs.append(href)
+
+
 class HrefToGopher:
     """Reference benchmark handler 1 (test/benchmark/selma_config.rb:4-14):
     rewrite http(s): hrefs to gopher:. (The reference selector is the tag

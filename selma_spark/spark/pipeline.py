@@ -630,6 +630,51 @@ def run_pipeline(
     return PipelineResult(out_path, lineage_path, metrics_path)
 
 
+def extract_links(docs: DataFrame) -> DataFrame:
+    """Per-document link extraction via the a[href] attribute-selector
+    handler (LinkCollector): one streaming parse per document inside
+    mapInArrow, rows out as (doc_id, n_links, hrefs_csv). Narrow plan —
+    the distributed twin of the reference's attribute-matching handler
+    surface (test/selma_rewriter_match_attribute_test.rb)."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+
+    def fn(batches):
+        import pyarrow as pa  # noqa: PLC0415
+
+        from selma_spark.extract import LinkCollector  # noqa: PLC0415
+        from selma_spark.rewriter import Rewriter  # noqa: PLC0415
+
+        for batch in batches:
+            doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
+            lst = batch.column(batch.schema.get_field_index("spans"))
+            values = lst.values
+            kinds = values.field("kind").to_pylist()
+            texts = values.field("text").to_pylist()
+            offsets = lst.offsets.to_pylist()
+            n_links, hrefs_csv = [], []
+            for i in range(len(batch)):
+                lo, hi = offsets[i], offsets[i + 1]
+                html = "".join(
+                    t for k, t in zip(kinds[lo:hi], texts[lo:hi])
+                    if k == "text" and t
+                )
+                col = LinkCollector()
+                Rewriter(sanitizer=None, handlers=[col]).rewrite(html)
+                n_links.append(len(col.hrefs))
+                hrefs_csv.append(",".join(col.hrefs))
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, pa.array(n_links, type=pa.int32()),
+                 pa.array(hrefs_csv, type=pa.string())],
+                names=["doc_id", "n_links", "hrefs_csv"],
+            )
+
+    return docs.mapInArrow(
+        fn, schema="doc_id string, n_links int, hrefs_csv string"
+    )
+
+
 def density_extract_stats(docs: DataFrame) -> DataFrame:
     """Main-content extraction stats via the boilerpipe-style
     DensityTextExtractor (extract.py): per document, concatenate text

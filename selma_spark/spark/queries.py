@@ -922,6 +922,25 @@ FROM ranked GROUP BY 1 ORDER BY 1
 """
 
 
+def q_extract_links(spark, sf_dir):
+    """Attribute-selector handler surface through the distributed path:
+    every a[href] collected per document."""
+    from .pipeline import extract_links  # noqa: PLC0415
+
+    return extract_links(spans_df(spark, sf_dir)).orderBy("doc_id")
+
+
+# only the doc_id%6==4 wrapper carries an <a href>; nothing else in the
+# interleaved corpus produces anchors
+ORACLE_EXTRACT_LINKS = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(CASE WHEN doc_id % 6 = 4 THEN 1 ELSE 0 END AS INT) AS n_links,
+       CASE WHEN doc_id % 6 = 4 THEN 'http://example.com/' ELSE '' END
+         AS hrefs_csv
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_main_content_density(spark, sf_dir):
     """DOM-heuristics leg: boilerpipe-style link-density main-content
     extraction over the interleaved corpus."""
@@ -1362,6 +1381,7 @@ def build_queries():
         "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
+        "extract_links": q_extract_links,
         "top_terms": q_top_terms,
         "near_dup_clusters": q_near_dup_clusters,
         "chunk_documents": q_chunk_documents,
@@ -1417,6 +1437,7 @@ def build_oracles():
         "media_features": ORACLE_MEDIA_FEATURES,
         "extract_flagship": _flagship_oracle(),
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
+        "extract_links": ORACLE_EXTRACT_LINKS,
         "top_terms": ORACLE_TOP_TERMS,
         "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
         "chunk_documents": ORACLE_CHUNKS,
