@@ -258,8 +258,9 @@ def _parse_start_tag(html: str, lt: int, light: bool = False,
     m = _FAST_TAG.match(html, lt + 1)
     if m is not None:
         raw_name = m.group(1)
+        blob = m.group(2)
         attrs: list[Attr] = []
-        if m.group(2) and not light and not need_spans:
+        if blob and not light and not need_spans:
             # batch path: validate the blob (quote-led unquoted values
             # fall back, matching the eager scanner), then extract all
             # attrs in one C-level findall; spans stay None
@@ -281,7 +282,7 @@ def _parse_start_tag(html: str, lt: int, light: bool = False,
                     attrs.append(Attr(aname, raw_attr, rawval, True, None, None))
                 else:
                     attrs.append(Attr(aname, raw_attr, "", False, None, None))
-        elif m.group(2) and not light:
+        elif blob and not light:
             seen = set()
             pos = m.end(1)
             blob_end = m.start(3) if m.group(3) else m.end(2)
