@@ -76,6 +76,12 @@ class DensityTextExtractor:
     def __init__(self, min_text_len: int = 60, max_link_density: float = 0.4):
         self.min_text_len = min_text_len
         self.max_link_density = max_link_density
+        self.reset()
+
+    def reset(self):
+        """Fresh per-document state; the compiled Rewriter dispatch that
+        wraps this handler is built once per TASK and reused across
+        documents (hoisting Rewriter.__init__ out of the per-doc loop)."""
         self.blocks: list[str] = []  # accepted main-content blocks
         # stack entries: [text_parts, link_chars, total_chars]
         self._stack: list[list] = [[[], 0, 0]]  # sentinel = document level
@@ -145,6 +151,9 @@ class LinkCollector:
     def __init__(self):
         self.hrefs: list[str] = []
 
+    def reset(self):
+        self.hrefs = []
+
     def selector(self):
         return self.SELECTOR
 
@@ -152,6 +161,16 @@ class LinkCollector:
         href = element["href"]
         if href is not None:
             self.hrefs.append(href)
+
+
+class ExternalLinkCollector(LinkCollector):
+    """Collects absolute http(s) links, skipping self-referencing anchor
+    decorations — exercises the reference's attribute-operator +
+    ``:not()`` selector surface end-to-end (reference
+    test/selma_selector_test.rb:18-44; README.md ``a[href^=...]``
+    examples) through the distributed path."""
+
+    SELECTOR = Selector(match_element='a[href^="http"]:not([class="anchor"])')
 
 
 class HrefToGopher:

@@ -78,10 +78,10 @@ class _Node:
         "modified", "removed_mode", "suppressing",
         "before_parts", "prepend_parts", "append_parts", "after_parts",
         "inner_content", "text_active", "end_tag_handlers", "end_removed",
-        "_byte_info",
+        "_byte_info", "_byte_cursor",
     )
 
-    def __init__(self, tok: tk.Token):
+    def __init__(self, tok: tk.Token, byte_cursor=None):
         self.orig_name = tok.name
         self.tag_name = tok.name
         self.renamed = False
@@ -102,7 +102,13 @@ class _Node:
         self.text_active = None  # set[int] of handler indices
         self.end_tag_handlers = None
         self.end_removed = False
-        self._byte_info = None  # memo: (src_is_ascii, tag_byte_base)
+        self._byte_info = None  # per-node memo: (src_is_ascii, tag_byte_base)
+        # shared per-PASS cursor [is_ascii|None, char_pos, byte_pos]:
+        # prefix UTF-8 byte offsets are computed incrementally from the
+        # last queried position, so a handler calling
+        # attribute_source_location on every element of a non-ASCII
+        # document stays O(n) overall instead of O(n^2) (ADVICE r2)
+        self._byte_cursor = byte_cursor
 
     @property
     def raw_name(self) -> str:
@@ -241,17 +247,31 @@ class Element:
                 node = self._node
                 tok = node._tok
                 src = tok.src
-                # memoized per node: one isascii scan + one prefix
-                # encode per ELEMENT, not per attribute query (repeated
-                # O(document) work on big non-ASCII pages otherwise)
+                # memoized per node AND advanced incrementally via the
+                # per-pass cursor: elements are visited in document
+                # order, so each prefix encode covers only the bytes
+                # since the previously queried element — O(document)
+                # total even when a handler queries EVERY element of a
+                # non-ASCII page (the naive per-node full-prefix encode
+                # is O(n^2) on that access pattern)
                 info = node._byte_info
                 if info is None:
-                    is_ascii = src.isascii()
-                    base = (
-                        None
-                        if is_ascii
-                        else len(src[: tok.start].encode("utf-8"))
-                    )
+                    cur = node._byte_cursor
+                    if cur is None:
+                        cur = node._byte_cursor = [None, 0, 0]
+                    if cur[0] is None:
+                        cur[0] = src.isascii()
+                    is_ascii = cur[0]
+                    if is_ascii:
+                        base = None
+                    elif tok.start >= cur[1]:
+                        base = cur[2] + len(
+                            src[cur[1] : tok.start].encode("utf-8")
+                        )
+                        cur[1] = tok.start
+                        cur[2] = base
+                    else:  # out-of-order query (held reference): full prefix
+                        base = len(src[: tok.start].encode("utf-8"))
                     info = node._byte_info = (is_ascii, base)
                 is_ascii, base = info
                 if is_ascii:
@@ -704,6 +724,9 @@ def _run_pass(html, sanitizer, handlers) -> str:
 
     ntok = len(tokens)
     ti = 0
+    # shared per-pass byte-offset cursor for attribute_source_location
+    # (incremental prefix encodes — see _Node._byte_cursor)
+    byte_cursor = [None, 0, 0]
     # hoist kind constants: 2-3 module-attr lookups per token otherwise
     TEXT, START_TAG, END_TAG, COMMENT = tk.TEXT, tk.START_TAG, tk.END_TAG, tk.COMMENT
     while ti < ntok:
@@ -768,7 +791,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
         ti += 1
 
         if kind == START_TAG:
-            node = _Node(tok)
+            node = _Node(tok, byte_cursor)
             name = node.orig_name
 
             if sanitizer is not None:

@@ -379,18 +379,40 @@ WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
 
 
 def q_simhash(spark, sf_dir):
-    return textops.simhash16(load(spark, sf_dir, "documents"))
+    return textops.simhash64(load(spark, sf_dir, "documents"))
 
 
+def _simhash_weight_sql(j: int) -> str:
+    # bit 63's weight is INT64_MIN, written as an expression because the
+    # bare literal -9223372036854775808 fails to parse (unary minus binds
+    # after the out-of-range positive literal)
+    return str(1 << j) if j < 63 else "(-9223372036854775807 - 1)"
+
+
+# mirror of textops._SIMHASH64_EXPR: digs = per-token 16 md5 hex-digit
+# values (md5 computed once per token); simhash bit j = majority vote of
+# bit (j % 4) of digit (j // 4 + 1). The >> & 1 arithmetic is identical
+# in both engines for the non-negative digit values.
 _SIMHASH_BITS_SQL = " + ".join(
-    f"(CASE WHEN 2 * len(list_filter(toks, t -> upper(substr(md5(t), {j + 1}, 1)) "
-    f"IN ('8','9','A','B','C','D','E','F'))) > len(toks) THEN {1 << j} ELSE 0 END)"
-    for j in range(16)
+    f"(CASE WHEN 2 * len(list_filter(digs, dv -> ((dv[{j // 4 + 1}] >> {j % 4}) & 1) = 1)) "
+    f"> n THEN {_simhash_weight_sql(j)} ELSE 0 END)"
+    for j in range(64)
 )
 
+_SIMHASH_DIGS_SQL = """
+d AS (SELECT doc_id, len(toks) AS n,
+        list_transform(
+          list_transform(toks, s -> md5(s)),
+          h -> list_transform(range(1, 17),
+                 i -> strpos('0123456789abcdef', substr(h, i, 1)) - 1)) AS digs
+      FROM t)
+"""
+
 ORACLE_SIMHASH = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM t ORDER BY doc_id
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+{_SIMHASH_DIGS_SQL}
+SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+FROM d ORDER BY doc_id
 """
 
 
@@ -941,6 +963,56 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_extract_external_links(spark, sf_dir):
+    """Attribute-operator + :not() selector surface end-to-end:
+    ``a[href^="http"]:not([class="anchor"])`` (reference
+    test/selma_selector_test.rb:18-44) driven through the distributed
+    extraction path. The link-rich HTML is synthesized deterministically
+    from doc_id (JVM-side concat — no UDF) with one kept http link, one
+    kept https link on even ids, one class="anchor" link excluded by
+    :not, one relative link excluded by ^="http", and one href-less
+    anchor excluded by [href]."""
+    from .pipeline import extract_external_links  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<p>intro <a href="http://ex.com/'), did, F.lit('">x</a>'),
+        F.lit(' <a class="anchor" href="http://ex.com/a'), did, F.lit('">#</a>'),
+        F.lit(' <a href="/rel/'), did, F.lit('">z</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(' <a href="https://cdn.ex.com/'), did, F.lit('">w</a>')
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(' <a name="top">t</a></p>'),
+    )
+    spans_docs = docs.select(
+        did.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                html.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return extract_external_links(spans_docs).orderBy("doc_id")
+
+
+ORACLE_EXTRACT_EXTERNAL_LINKS = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_links,
+       'http://ex.com/' || doc_id
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN ',https://cdn.ex.com/' || doc_id ELSE '' END)
+         AS hrefs_csv
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_main_content_density(spark, sf_dir):
     """DOM-heuristics leg: boilerpipe-style link-density main-content
     extraction over the interleaved corpus."""
@@ -1183,9 +1255,9 @@ c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 scored AS (
   SELECT e.vec_id, c.cid,
-    list_dot_product(emb, cemb)
+    round(list_dot_product(emb, cemb)
       / (sqrt(list_dot_product(emb, emb))
-         * sqrt(list_dot_product(cemb, cemb))) AS cos
+         * sqrt(list_dot_product(cemb, cemb))), 9) AS cos
   FROM e, c),
 best AS (
   SELECT vec_id, cid FROM (
@@ -1225,29 +1297,31 @@ ORDER BY cosine DESC, b.vec_id LIMIT 10
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 2) via 3-band pigeonhole
+    """SimHash near-dup pairs (hamming <= 3) via 4x16-bit-band pigeonhole
     candidates + bit_count verify."""
     return textops.simhash_near_dup(load_split(spark, sf_dir, "documents"))
 
 
+# bands = (simhash >> 16k) & 0xFFFF: the mask keeps only the band's own
+# 16 bits, so signed-shift semantics cannot differ between engines
 ORACLE_SIMHASH_NEAR_DUP = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM t),
+{_SIMHASH_DIGS_SQL},
+sh AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM d),
 bands AS (
-  SELECT doc_id, simhash, 0 AS band_id, simhash % 32 AS band_val FROM sh
-  UNION ALL
-  SELECT doc_id, simhash, 1, (simhash // 32) % 32 FROM sh
-  UNION ALL
-  SELECT doc_id, simhash, 2, simhash // 1024 FROM sh),
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {k} AS band_id, "
+      f"(simhash >> {16 * k}) & 65535 AS band_val FROM sh"
+      for k in range(4))}),
 kept AS (
   SELECT doc_id, simhash, band_id, band_val FROM bands
   QUALIFY count(*) OVER (PARTITION BY band_id, band_val) <= 100)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM kept a JOIN kept b
   ON a.band_id = b.band_id AND a.band_val = b.band_val
  AND a.doc_id < b.doc_id
-WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY doc_a, doc_b
 """
 
@@ -1382,6 +1456,7 @@ def build_queries():
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
         "extract_links": q_extract_links,
+        "extract_external_links": q_extract_external_links,
         "top_terms": q_top_terms,
         "near_dup_clusters": q_near_dup_clusters,
         "chunk_documents": q_chunk_documents,
@@ -1438,6 +1513,7 @@ def build_oracles():
         "extract_flagship": _flagship_oracle(),
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
         "extract_links": ORACLE_EXTRACT_LINKS,
+        "extract_external_links": ORACLE_EXTRACT_EXTERNAL_LINKS,
         "top_terms": ORACLE_TOP_TERMS,
         "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
         "chunk_documents": ORACLE_CHUNKS,

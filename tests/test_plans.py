@@ -134,3 +134,13 @@ def test_exact_dedup_has_partial_aggregation(spark):
     # exactly one exchange for the aggregation (plus possibly one for the
     # presentation sort)
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_top_terms_broadcasts_the_vocabulary_side(spark):
+    # tf⋈df joins on the raw term (stopwords = hot keys); for a
+    # broadcastable vocabulary the df side must plan a BroadcastHashJoin
+    # so the corpus-sized tf side never shuffles on term
+    df = textops.top_terms_tfidf(q.load(spark, SF_DIR, "documents"))
+    plan = plan_of(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

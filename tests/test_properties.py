@@ -148,19 +148,27 @@ def test_sanitize_fast_path_equals_handler_path(html):
 def test_orphan_end_tag_flood_is_linear():
     """Adversarial input: a deep open stack followed by a flood of
     UNMATCHED end tags. Each orphan must be rejected O(1) via the
-    open-name counts (a per-orphan stack scan is quadratic: 20k x 20k
-    would take minutes). 2s is an order-of-magnitude guard band."""
+    open-name counts (a per-orphan stack scan is quadratic). Guarded
+    RELATIVELY against a matched-tags baseline of the same token count —
+    an absolute wall-clock bound flakes under this VM's ±2x scheduling
+    noise (ADVICE r2) — with a generous 8x band: the quadratic failure
+    mode is ~1000x, not single-digit."""
     import time
 
     from selma_spark import sanitizer as S
     from selma_spark.rewriter import Rewriter
 
-    html = "<b>" * 20000 + "</i>" * 20000
+    orphan = "<b>" * 20000 + "</i>" * 20000
+    matched = "<b>" * 20000 + "</b>" * 20000
     for cfg, handlers in ((S.RELAXED, []), (None, [_NeverMatches()])):
         r = Rewriter(sanitizer=cfg, handlers=handlers)
         t0 = time.perf_counter()
-        out = r.rewrite(html)
-        assert time.perf_counter() - t0 < 2.0
+        r.rewrite(matched)
+        baseline = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = r.rewrite(orphan)
+        orphan_t = time.perf_counter() - t0
+        assert orphan_t < max(8 * baseline, 0.5), (orphan_t, baseline)
         # orphan end tags still pass through verbatim where allowed
         if cfg is None:
             assert out.count("</i>") == 20000

@@ -435,6 +435,32 @@ def test_attr_source_locations_are_byte_ranges_on_multibyte_input():
     assert raw[loc["value"][0]:loc["value"][1]] == "✓ ok".encode()
 
 
+def test_attr_source_locations_every_element_incremental_cursor():
+    """Querying EVERY element of a non-ASCII document exercises the
+    shared per-pass byte cursor (incremental prefix encodes — the naive
+    per-node full-prefix encode is O(n^2) on this access pattern). Every
+    returned range must still byteslice to the exact name/value,
+    including repeated queries of the same element."""
+    locs = []
+
+    def f(s, el):
+        loc = el.attribute_source_location("data-i")
+        # second query of the same node takes the memoized path
+        assert el.attribute_source_location("data-i") == loc
+        locs.append(loc)
+
+    h = H(Selector(match_element="span"), element=f)
+    html = "日本語".join(
+        f'<span data-i="v{i}-ü">x</span>' for i in range(50)
+    )
+    rewrite(html, h)
+    raw = html.encode("utf-8")
+    assert len(locs) == 50
+    for i, loc in enumerate(locs):
+        assert raw[slice(*loc["name"])] == b"data-i"
+        assert raw[slice(*loc["value"])] == f"v{i}-ü".encode()
+
+
 def test_added_attribute_has_no_source_location():
     captured = {}
 

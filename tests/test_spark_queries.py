@@ -105,3 +105,37 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert df.columns == ["doc_id", "n_spans", "out_chars"]
+
+
+def test_simhash64_band_space_survives_bench_scale(spark):
+    """The 64-bit signature's band space must be driven by document
+    similarity, not width saturation (VERDICT r2: a 16-bit signature has
+    65,536 values, so at corpus scale every band bucket blows past the
+    cap and recall collapses). At the bench corpus (sf0.1, 5k docs):
+    signatures are near-unique, >= 95% of band rows survive the 100-doc
+    bucket cap, and NO document loses all four of its band rows."""
+    from pyspark.sql import functions as F
+
+    from selma_spark.spark import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    sh = textops.simhash64(docs).localCheckpoint()
+    n_docs, n_sigs = sh.agg(
+        F.count("*"), F.count_distinct("simhash")
+    ).first()
+    assert n_sigs >= 0.9 * n_docs, (n_sigs, n_docs)
+
+    bands = textops.simhash_bands(sh)
+    counts = bands.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("_n")
+    )
+    kept = bands.join(
+        counts.where(F.col("_n") <= 100), ["band_id", "band_val"]
+    )
+    n_bands = bands.count()
+    n_kept = kept.count()
+    assert n_kept >= 0.95 * n_bands, (n_kept, n_bands)
+    orphaned = (
+        sh.select("doc_id").exceptAll(kept.select("doc_id").distinct()).count()
+    )
+    assert orphaned == 0, f"{orphaned} docs lost every band row to the cap"
