@@ -194,6 +194,81 @@ def test_run_pipeline_resumes_after_partial_failure(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_run_pipeline_resumes_byte_weighted_across_partition_counts(spark):
+    """Resume chaos under BYTE-WEIGHTED bucketing: the stratified-salted
+    LPT deal must reproduce the identical doc->bucket assignment on a
+    restart that runs with a DIFFERENT shuffle-partition count —
+    otherwise the lineage anti-join would skip buckets whose membership
+    silently moved, losing documents. (The deal is row_number over a
+    total order within (stratum, salt) — partition-layout independent by
+    construction; this pins it.)"""
+    import glob
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="selma_bw_resume_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        docs = interleaved_spans(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        )
+        # assignment itself is partition-count independent
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {
+            r["doc_id"]: r["bucket"]
+            for r in bucketed(docs, 8, byte_weighted=True)
+            .select("doc_id", "bucket").collect()
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = {
+            r["doc_id"]: r["bucket"]
+            for r in bucketed(docs, 8, byte_weighted=True)
+            .select("doc_id", "bucket").collect()
+        }
+        assert a == b
+
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        res = run_pipeline(
+            spark, docs, tmp, config="default", n_buckets=4, byte_weighted=True
+        )
+        lineage = spark.read.parquet(res.lineage_path)
+        keep_buckets = {0, 1}
+        partial = lineage.where(F.col("partition_id").isin(*keep_buckets))
+        partial.write.mode("overwrite").parquet(f"{tmp}/lineage_partial")
+        spark.catalog.refreshByPath(f"{tmp}/lineage_partial")
+        spark.read.parquet(f"{tmp}/lineage_partial").write.mode(
+            "overwrite"
+        ).parquet(res.lineage_path)
+        spark.catalog.refreshByPath(res.lineage_path)
+        for bk in (2, 3):
+            shutil.rmtree(f"{res.output_path}/bucket={bk}", ignore_errors=True)
+
+        def snap():
+            return {
+                p: (os.path.getmtime(p), os.path.getsize(p))
+                for bk in keep_buckets
+                for p in glob.glob(f"{res.output_path}/bucket={bk}/*.parquet")
+            }
+
+        before = snap()
+        spark.catalog.refreshByPath(res.output_path)
+
+        # the restart runs with a different partition count
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        res2 = run_pipeline(
+            spark, docs, tmp, config="default", n_buckets=4, byte_weighted=True
+        )
+        out = spark.read.parquet(res2.output_path)
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+        assert out.select("bucket").distinct().count() == 4
+        assert snap() == before  # completed buckets byte-untouched
+        lineage2 = spark.read.parquet(res2.lineage_path)
+        assert lineage2.where("status = 'ok'").count() == 4
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_oversized_docs_quarantined(spark):
     docs = make_span_docs(spark)
     inputs = {r["doc_id"]: r["spans"] for r in docs.collect()}
