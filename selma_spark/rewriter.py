@@ -699,7 +699,10 @@ def _run_pass(html, sanitizer, handlers) -> str:
     open_counts: dict = {}
     ruby_stack: list[str] = []    # Selma-style ancestors stack
     suppress = 0
-    any_text_handlers = any(h.selector.text_selector for h in handlers)
+    # handler_idx -> count of OPEN elements whose text selector matched:
+    # maintained on push/pop so text tokens read the active set O(1)
+    # instead of re-scanning the open stack per chunk
+    tactive_counts: dict = {}
 
     # contiguous untouched tokens are emitted as ONE source slice
     run_start = -1
@@ -727,6 +730,23 @@ def _run_pass(html, sanitizer, handlers) -> str:
     # shared per-pass byte-offset cursor for attribute_source_location
     # (incremental prefix encodes — see _Node._byte_cursor)
     byte_cursor = [None, 0, 0]
+    # flattened per-handler dispatch specs: selector/flag attribute
+    # chains resolved ONCE per pass instead of per element per handler
+    # (~9 attribute loads saved per start tag)
+    hspecs = [
+        (
+            h_idx,
+            h.obj.handle_element if h.has_element else None,
+            h.obj.on_end_tag if h.has_end_tag else None,
+            sel.required_tags if (sel := h.selector.element_selector) is not None else None,
+            sel.prefilter_complete if sel is not None else False,
+            sel.matches if sel is not None else None,
+            tsel.required_tags if (tsel := h.selector.text_selector) is not None else None,
+            tsel.prefilter_complete if tsel is not None else False,
+            tsel.matches if tsel is not None else None,
+        )
+        for h_idx, h in enumerate(handlers)
+    ]
     # hoist kind constants: 2-3 module-attr lookups per token otherwise
     TEXT, START_TAG, END_TAG, COMMENT = tk.TEXT, tk.START_TAG, tk.END_TAG, tk.COMMENT
     while ti < ntok:
@@ -750,11 +770,8 @@ def _run_pass(html, sanitizer, handlers) -> str:
                 ti += 1
                 t_end = tokens[ti].end
             ti += 1
-            if handlers and any_text_handlers:
-                active: set[int] = set()
-                for node in stack:
-                    if node.text_active:
-                        active |= node.text_active
+            if tactive_counts:
+                active = tactive_counts  # keys = active handler indices
                 if active:
                     chunk = TextChunk(html[t_start:t_end], text_type)
                     dispatched = False
@@ -798,34 +815,34 @@ def _run_pass(html, sanitizer, handlers) -> str:
                 _sanitize_element(sanitizer, node)
 
             if handlers:
-                ancestors = None
-                for h_idx, h in enumerate(handlers):
-                    sel = h.selector
-                    esel = sel.element_selector
-                    if esel is not None and (
-                        esel.required_tags is None
+                for (h_idx, helem, hend, ereq, ecomp, ematch,
+                     treq, tcomp, tmatch) in hspecs:
+                    if ematch is not None and (
+                        ereq is None
                         # node.tag_name read per handler: an earlier
                         # handler's rename is visible to later matches
-                        or node.tag_name in esel.required_tags
-                    ) and (esel.prefilter_complete or esel.matches(node, stack)):
-                        if h.has_end_tag and not node.void:
+                        or node.tag_name in ereq
+                    ) and (ecomp or ematch(node, stack)):
+                        if hend is not None and not node.void:
                             if node.end_tag_handlers is None:
                                 node.end_tag_handlers = []
-                            node.end_tag_handlers.append(h.obj.on_end_tag)
-                        if h.has_element:
-                            if ancestors is None:
-                                ancestors = list(ruby_stack)
+                            node.end_tag_handlers.append(hend)
+                        if helem is not None:
                             try:
-                                h.obj.handle_element(Element(node, ancestors))
+                                # ruby_stack is passed LIVE (it holds
+                                # exactly this element's ancestors during
+                                # dispatch); Element.ancestors copies on
+                                # access, so no per-element snapshot —
+                                # like the reference, an Element is only
+                                # valid inside its callback
+                                helem(Element(node, ruby_stack))
                             except RewriteError:
                                 raise
                             except Exception as exc:
                                 raise RewriteError(str(exc)) from exc
-                    tsel = sel.text_selector
-                    if tsel is not None and (
-                        tsel.required_tags is None
-                        or node.tag_name in tsel.required_tags
-                    ) and (tsel.prefilter_complete or tsel.matches(node, stack)):
+                    if tmatch is not None and (
+                        treq is None or node.tag_name in treq
+                    ) and (tcomp or tmatch(node, stack)):
                         if node.text_active is None:
                             node.text_active = set()
                         node.text_active.add(h_idx)
@@ -871,6 +888,9 @@ def _run_pass(html, sanitizer, handlers) -> str:
                     open_counts.get(node.orig_name, 0) + 1
                 )
                 stack.append(node)
+                if node.text_active:
+                    for i in node.text_active:
+                        tactive_counts[i] = tactive_counts.get(i, 0) + 1
 
             if not node.void:
                 ruby_stack.append(node.orig_name)
@@ -883,18 +903,34 @@ def _run_pass(html, sanitizer, handlers) -> str:
                     keep(tok.start, tok.end)  # orphan end tag verbatim
                 continue
             # find innermost open element with this (original) name
-            for k in range(len(stack) - 1, -1, -1):
+            top = len(stack) - 1
+            for k in range(top, -1, -1):
                 if stack[k].orig_name == name:
                     idx = k
                     break
-            # implicit closes above the match: no end-tag events fire
-            for node in stack[idx + 1 :]:
-                if node.suppressing:
-                    suppress -= 1
-                open_counts[node.orig_name] -= 1
+            if idx != top:
+                # implicit closes above the match: no end-tag events fire
+                for node in stack[idx + 1 :]:
+                    if node.suppressing:
+                        suppress -= 1
+                    open_counts[node.orig_name] -= 1
+                    if node.text_active:
+                        for i in node.text_active:
+                            c = tactive_counts[i] - 1
+                            if c:
+                                tactive_counts[i] = c
+                            else:
+                                del tactive_counts[i]
             closing = stack[idx]
             open_counts[name] -= 1
             del stack[idx:]
+            if closing.text_active:
+                for i in closing.text_active:
+                    c = tactive_counts[i] - 1
+                    if c:
+                        tactive_counts[i] = c
+                    else:
+                        del tactive_counts[i]
 
             if closing.end_tag_handlers:
                 facade = EndTag(closing.tag_name, closing)
@@ -976,6 +1012,10 @@ def _sanitize_element(sanitizer: Sanitizer, node: _Node) -> None:
     if name == "iframe":
         node.inner_content = " " if sanitizer.element_flags(name) != 0 else ""
 
+    # attr-less fast path: skip the node.attrs materialization entirely
+    # (sanitize runs before handlers, so _attrs cannot exist yet)
+    if not node._tok_attrs:
+        return
     attrs = node.attrs
     if not attrs:
         return

@@ -327,20 +327,25 @@ class Sanitizer:
         return True
 
 
+_PROTO_STOP_RE = _re.compile(r"[:/#]")
+
+
 def has_allowed_protocol(protocols_allowed, attr_val: str) -> bool:
     """Port of the scan in sanitizer.rs:549-581: find the first ':', '/'
     or '#'; '/' means relative path, '#' means anchor, otherwise the
-    prefix before ':' is the (case-insensitive) protocol name."""
+    prefix before ':' is the (case-insensitive) protocol name. (C-level
+    search; a stop-char-free value inspects its LAST char and treats
+    everything before it as the protocol — quirk preserved from the
+    original per-char port.)"""
     if ALL in protocols_allowed:
         return True
-    n = len(attr_val)
-    pos = 0
-    for i, c in enumerate(attr_val):
-        if c != ":" and c != "/" and c != "#" and pos + 1 < n:
-            pos = i + 1
-        else:
-            break
-    ch = attr_val[pos]
+    m = _PROTO_STOP_RE.search(attr_val)
+    if m is not None:
+        pos = m.start()
+        ch = attr_val[pos]
+    else:
+        pos = len(attr_val) - 1
+        ch = attr_val[pos]
     if ch == "/":
         return "/" in protocols_allowed
     if ch == "#":

@@ -257,8 +257,7 @@ def _parse_start_tag(html: str, lt: int, light: bool = False,
     '>' (incomplete tag -> dropped). light skips Attr materialization."""
     m = _FAST_TAG.match(html, lt + 1)
     if m is not None:
-        raw_name = m.group(1)
-        blob = m.group(2)
+        raw_name, blob, slash = m.group(1, 2, 3)
         attrs: list[Attr] = []
         if blob and not light and not need_spans:
             # batch path: validate the blob (quote-led unquoted values
@@ -285,7 +284,7 @@ def _parse_start_tag(html: str, lt: int, light: bool = False,
         elif blob and not light:
             seen = set()
             pos = m.end(1)
-            blob_end = m.start(3) if m.group(3) else m.end(2)
+            blob_end = m.start(3) if slash else m.end(2)
             while pos < blob_end:
                 am = _FAST_ATTR.match(html, pos, blob_end)
                 if am is None:
@@ -320,7 +319,7 @@ def _parse_start_tag(html: str, lt: int, light: bool = False,
         end = m.end()
         return (
             Token(START_TAG, html, lt, end, name=raw_name.lower(), attrs=attrs,
-                  self_closing=m.group(3) == "/"),
+                  self_closing=slash == "/"),
             end,
         )
     return _parse_start_tag_general(html, lt)
