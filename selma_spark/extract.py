@@ -173,6 +173,51 @@ class ExternalLinkCollector(LinkCollector):
     SELECTOR = Selector(match_element='a[href^="http"]:not([class="anchor"])')
 
 
+class ScopedTextCollector:
+    """Collects text chunks within <div> scopes while IGNORING text
+    inside <b> subtrees — the match_text_within + ignore_text_within
+    dispatch surface (reference lib/selma selector options;
+    test/selma_rewriter_text_test.rb indirect-ancestor cases), driven
+    distributed and value-oracled."""
+
+    SELECTOR = Selector(
+        match_element=None,
+        match_text_within="div",
+        ignore_text_within=("b",),
+    )
+
+    def __init__(self):
+        self.chunks: list[str] = []
+
+    def reset(self):
+        self.chunks = []
+
+    def selector(self):
+        return self.SELECTOR
+
+    def handle_text_chunk(self, chunk):
+        self.chunks.append(chunk.to_s())
+
+
+class ParaAnnotator:
+    """Exercises the four content-insertion surfaces plus as_: :text
+    escaping on one element (reference element.rs before/after/prepend/
+    append; test/selma_rewriter_match_element_test.rb): every <p> gets
+    an escaped <note> marker before it, "[" prepended, "]" appended and
+    ")" after it."""
+
+    SELECTOR = Selector(match_element="p")
+
+    def selector(self):
+        return self.SELECTOR
+
+    def handle_element(self, element):
+        element.before("<note>", as_="text")
+        element.prepend("[", as_="html")
+        element.append("]", as_="html")
+        element.after(")", as_="html")
+
+
 class HrefToGopher:
     """Reference benchmark handler 1 (test/benchmark/selma_config.rb:4-14):
     rewrite http(s): hrefs to gopher:. (The reference selector is the tag

@@ -689,6 +689,53 @@ def extract_links(docs: DataFrame) -> DataFrame:
     return _collect_links(docs, "LinkCollector")
 
 
+def collect_scoped_text(docs: DataFrame) -> DataFrame:
+    """Per-document text-chunk collection through the
+    match_text_within="div" / ignore_text_within=["b"] dispatch
+    (ScopedTextCollector): one streaming parse per document inside
+    mapInArrow, rows out as (doc_id, n_chunks, chunks_csv). Narrow plan;
+    Rewriter built once per task, collector state reset per document."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+
+    def fn(batches):
+        import pyarrow as pa  # noqa: PLC0415
+
+        from selma_spark.extract import ScopedTextCollector  # noqa: PLC0415
+        from selma_spark.rewriter import Rewriter  # noqa: PLC0415
+
+        col = ScopedTextCollector()
+        rw = Rewriter(sanitizer=None, handlers=[col]).rewrite
+        for batch in batches:
+            doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
+            lst = batch.column(batch.schema.get_field_index("spans"))
+            values = lst.values
+            kinds = values.field("kind").to_pylist()
+            texts = values.field("text").to_pylist()
+            offsets = lst.offsets.to_pylist()
+            n_chunks, chunks_csv = [], []
+            for i in range(len(batch)):
+                lo, hi = offsets[i], offsets[i + 1]
+                html = "".join(
+                    t for k, t in zip(kinds[lo:hi], texts[lo:hi])
+                    if k == "text" and t
+                )
+                col.reset()
+                rw(html)
+                n_chunks.append(len(col.chunks))
+                chunks_csv.append("|".join(col.chunks))
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, pa.array(n_chunks, type=pa.int32()),
+                 pa.array(chunks_csv, type=pa.string())],
+                names=["doc_id", "n_chunks", "chunks_csv"],
+            )
+
+    return docs.mapInArrow(
+        fn, schema="doc_id string, n_chunks int, chunks_csv string"
+    )
+
+
 def extract_external_links(docs: DataFrame) -> DataFrame:
     """Absolute http(s) links excluding class="anchor" decorations:
     ``a[href^="http"]:not([class="anchor"])`` through the distributed

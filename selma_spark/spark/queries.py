@@ -1013,6 +1013,81 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _single_text_span_docs(docs, html):
+    """(doc_id string, spans) frame wrapping one synthesized text span."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                html.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def q_text_within_ignore(spark, sf_dir):
+    """match_text_within + ignore_text_within dispatch end-to-end: text
+    chunks within <div> are collected EXCEPT those inside a nested <b>
+    subtree (indirect-ancestor suppression). HTML synthesized from
+    doc_id/text JVM-side; the kept chunk set is deterministic."""
+    from .pipeline import collect_scoped_text  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<div>"), F.col("text"),
+        F.lit("<b>secret "), did, F.lit("</b>"),
+        F.lit("<i>seen "), did, F.lit("</i>"),
+        F.lit("</div><p>outside "), did, F.lit("</p>"),
+    )
+    return collect_scoped_text(_single_text_span_docs(docs, html)).orderBy(
+        "doc_id"
+    )
+
+
+# chunks within the div: the document text, then "seen {id}" (the <i>
+# does not suppress); "secret {id}" is inside <b> -> ignored; "outside
+# {id}" is not within any div -> never dispatched
+ORACLE_TEXT_WITHIN_IGNORE = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(2 AS INT) AS n_chunks,
+       text || '|seen ' || doc_id AS chunks_csv
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_annotate_paragraphs(spark, sf_dir):
+    """before/prepend/append/after + as_: :text escaping end-to-end:
+    every <p> gains an ESCAPED <note> marker before it, "[" prepended,
+    "]" appended, ")" after it; output is the reassembled text."""
+    from .pipeline import rewrite_documents  # noqa: PLC0415
+
+    def handlers():
+        from ..extract import ParaAnnotator  # noqa: PLC0415
+
+        return [ParaAnnotator()]
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    out = rewrite_documents(
+        _single_text_span_docs(docs, html), None, handlers_factory=handlers
+    )
+    return out.select(
+        "doc_id",
+        F.element_at("spans", 1)["text"].alias("out_text"),
+    ).orderBy("doc_id")
+
+
+ORACLE_ANNOTATE_PARAGRAPHS = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '&lt;note&gt;<p>[' || text || ']</p>)' AS out_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_main_content_density(spark, sf_dir):
     """DOM-heuristics leg: boilerpipe-style link-density main-content
     extraction over the interleaved corpus."""
@@ -1457,6 +1532,8 @@ def build_queries():
         "main_content_density": q_main_content_density,
         "extract_links": q_extract_links,
         "extract_external_links": q_extract_external_links,
+        "text_within_ignore": q_text_within_ignore,
+        "annotate_paragraphs": q_annotate_paragraphs,
         "top_terms": q_top_terms,
         "near_dup_clusters": q_near_dup_clusters,
         "chunk_documents": q_chunk_documents,
@@ -1514,6 +1591,8 @@ def build_oracles():
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
         "extract_links": ORACLE_EXTRACT_LINKS,
         "extract_external_links": ORACLE_EXTRACT_EXTERNAL_LINKS,
+        "text_within_ignore": ORACLE_TEXT_WITHIN_IGNORE,
+        "annotate_paragraphs": ORACLE_ANNOTATE_PARAGRAPHS,
         "top_terms": ORACLE_TOP_TERMS,
         "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
         "chunk_documents": ORACLE_CHUNKS,

@@ -186,3 +186,85 @@ def test_dropped_empty_end_tag_never_resurrects():
             san = Sanitizer(cfg)
             assert R._sanitize_pass(html, san) == R._run_pass(html, san, [])
             assert "</>" not in R._run_pass(html, san, [])
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_text_within_scoping_matches_independent_model(data):
+    """Differential guard for the incremental text-active bookkeeping
+    (tactive counts maintained on push/pop): on WELL-FORMED nesting the
+    set of dispatched text chunks must equal a trivially-correct
+    independent model (text is dispatched iff some open ancestor is a
+    <div> and no open ancestor is a <b>). Exercises deep nesting,
+    interleaved scopes, and repeated open/close of the matching tag."""
+    from selma_spark.selector import Selector
+
+    tags = ("div", "b", "i", "span", "p", "section")
+    parts = []
+    model_stack = []
+    expected = []
+    counter = [0]
+    # adjacent text emissions coalesce into ONE chunk in the rewriter
+    # (same open stack, so same scope decision) — mirror that here
+    last = [None]  # None | True (last part was in-scope text) | False
+
+    def emit_text():
+        counter[0] += 1
+        s = f"t{counter[0]} "
+        in_scope = any(t == "div" for t in model_stack) and not any(
+            t == "b" for t in model_stack
+        )
+        if last[0] is None:
+            parts.append(s)
+            if in_scope:
+                expected.append(s)
+        else:
+            parts[-1] += s
+            if in_scope:  # same stack as the previous text => same scope
+                expected[-1] += s
+        last[0] = in_scope
+
+    def open_tag(tag):
+        parts.append(f"<{tag}>")
+        model_stack.append(tag)
+        last[0] = None
+
+    def close_tag(tag):
+        model_stack.pop()
+        parts.append(f"</{tag}>")
+        last[0] = None
+
+    def gen(depth):
+        for _ in range(data.draw(st.integers(0, 3))):
+            if data.draw(st.booleans()):
+                emit_text()
+            if depth < 5 and data.draw(st.booleans()):
+                tag = data.draw(st.sampled_from(tags))
+                open_tag(tag)
+                gen(depth + 1)
+                close_tag(tag)
+                if data.draw(st.booleans()):
+                    emit_text()
+
+    gen(0)
+    html = "".join(parts)
+
+    class Collector:
+        SELECTOR = Selector(
+            match_element=None,
+            match_text_within="div",
+            ignore_text_within=("b",),
+        )
+
+        def __init__(self):
+            self.chunks = []
+
+        def selector(self):
+            return self.SELECTOR
+
+        def handle_text_chunk(self, chunk):
+            self.chunks.append(chunk.to_s())
+
+    col = Collector()
+    Rewriter(sanitizer=None, handlers=[col]).rewrite(html)
+    assert col.chunks == expected, (html, col.chunks, expected)
