@@ -92,6 +92,8 @@ def make_rewrite_fn(config="default", handlers_factory=None,
                 # rewriter.rs:156-227, re-expressed as a routing decision)
                 def rw(t, _rw=rw, _cap=max_text_bytes):
                     return t if len(t) > _cap else _rw(t)
+        import pyarrow.compute as pc  # noqa: PLC0415
+
         for batch in batches:
             spans_idx = batch.schema.get_field_index("spans")
             lst = batch.column(spans_idx)
@@ -100,7 +102,9 @@ def make_rewrite_fn(config="default", handlers_factory=None,
             values = lst.values
             kinds = values.field("kind")
             texts = values.field("text")
-            is_text = kinds.to_pylist()
+            # C-level boolean mask (NULL kind -> None -> falsy), not one
+            # Python string per span
+            is_text = pc.equal(kinds, "text").to_pylist()
             old_texts = texts.to_pylist()
             if memo_bc is not None:
                 memo_get = memo_bc.value.get
@@ -111,14 +115,14 @@ def make_rewrite_fn(config="default", handlers_factory=None,
 
                 new_texts = [
                     look(t)
-                    if (rw is not None and k == "text" and t and "<" in t)
+                    if (rw is not None and k and t and "<" in t)
                     else t
                     for k, t in zip(is_text, old_texts)
                 ]
             else:
                 new_texts = [
                     rw(t)
-                    if (rw is not None and k == "text" and t and "<" in t)
+                    if (rw is not None and k and t and "<" in t)
                     else t
                     for k, t in zip(is_text, old_texts)
                 ]
@@ -138,8 +142,6 @@ def make_rewrite_fn(config="default", handlers_factory=None,
             # otherwise rebuild them as empty lists)
             mask = None
             if lst.null_count:
-                import pyarrow.compute as pc  # noqa: PLC0415
-
                 mask = pc.is_null(lst)
             new_lst = pa.ListArray.from_arrays(
                 lst.offsets, new_values, type=lst.type, mask=mask
