@@ -70,7 +70,11 @@ def _timed(fn, *args):
 
 
 def run_at(cpus: int, sf_dir: str, reps: int = 1):
-    spark = get_spark(cpus=cpus, app_name=f"selma-bench-{cpus}", arrow_batch_rows=2048)
+    # 16384-row arrow batches: the bench docs average ~600B (1% skew at
+    # ~28KB), so a batch is ~10-15MB — large enough that per-batch
+    # framing/schema overhead amortizes (+~10% vs 2048 measured),
+    # small enough that executor memory is never at risk
+    spark = get_spark(cpus=cpus, app_name=f"selma-bench-{cpus}", arrow_batch_rows=16384)
     # warm the JVM + arrow path on a small slice
     _flagship_count(spark, "/root/testdata/sf0.001", replicate=1)
     best_dt = None

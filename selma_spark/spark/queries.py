@@ -1371,6 +1371,63 @@ ORDER BY cosine DESC, b.vec_id LIMIT 10
 """
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding: nearest codebook entry (squared
+    L2, ties -> smallest cid) per 16-dim subspace, 4 codes per vector."""
+    return simsearch.pq_codes(load(spark, sf_dir, "embeddings"))
+
+
+# elementwise (x-y)^2 summed in index order, rounded to 9 BEFORE the
+# per-(vec, subspace) argmin — mirrors simsearch._l2sq / pq_codes
+_DUCK_PQ_CODES = """
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      FROM embeddings WHERE vec_id < 16),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sd AS (
+  SELECT e.vec_id, c.cid, CAST(u.j AS INT) AS j,
+    round(list_sum(list_transform(range(1, 17),
+      i -> (emb[u.j*16 + i] - cemb[u.j*16 + i])
+         * (emb[u.j*16 + i] - cemb[u.j*16 + i]))), 9) AS d2
+  FROM e, c, UNNEST(range(0, 4)) AS u(j)),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+    FROM sd) WHERE rn = 1)
+"""
+
+ORACLE_PQ_CODES = f"""
+WITH {_DUCK_PQ_CODES}
+SELECT vec_id,
+  {", ".join(f"CAST(max(CASE WHEN j = {j} THEN cid END) AS INT) AS code{j}" for j in range(4))}
+FROM codes GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def q_embedding_topk_pq(spark, sf_dir):
+    """PQ ANN top-k via ADC: broadcast the query's 64-row distance
+    table, scan only the codes (recall < 1 by design, deterministic)."""
+    return simsearch.topk_pq_adc(load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_TOPK_PQ = f"""
+WITH {_DUCK_PQ_CODES},
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+dtab AS (
+  SELECT CAST(u.j AS INT) AS j, c.cid,
+    round(list_sum(list_transform(range(1, 17),
+      i -> (qemb[u.j*16 + i] - cemb[u.j*16 + i])
+         * (qemb[u.j*16 + i] - cemb[u.j*16 + i]))), 9) AS d2
+  FROM q, c, UNNEST(range(0, 4)) AS u(j)),
+adc AS (
+  SELECT codes.vec_id, round(sum(dtab.d2), 6) AS adc_d2
+  FROM codes JOIN dtab ON codes.j = dtab.j AND codes.cid = dtab.cid
+  GROUP BY 1)
+SELECT vec_id, adc_d2 FROM adc WHERE vec_id <> 0
+ORDER BY adc_d2, vec_id LIMIT 10
+"""
+
+
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 3) via 4x16-bit-band pigeonhole
     candidates + bit_count verify."""
@@ -1542,6 +1599,8 @@ def build_queries():
         "salted_lang_counts": q_salted_lang_counts,
         "ivf_cells": q_ivf_cells,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "pq_codes": q_pq_codes,
+        "embedding_topk_pq": q_embedding_topk_pq,
         "simhash_near_dup": q_simhash_near_dup,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1601,6 +1660,8 @@ def build_oracles():
         "salted_lang_counts": ORACLE_SALTED_LANG_COUNTS,
         "ivf_cells": ORACLE_IVF_CELLS,
         "embedding_topk_ivf": ORACLE_EMBEDDING_TOPK_IVF,
+        "pq_codes": ORACLE_PQ_CODES,
+        "embedding_topk_pq": ORACLE_EMBEDDING_TOPK_PQ,
         "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
         "pricing_summary": ORACLE_PRICING_SUMMARY,
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,

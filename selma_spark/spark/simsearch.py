@@ -189,6 +189,126 @@ def topk_cosine_ivf(
     )
 
 
+# --- product quantization (PQ) ---------------------------------------------
+# The ANN compression path a 100TB vector corpus actually stores: each
+# 64-dim vector becomes m=4 one-byte codes (nearest codebook entry per
+# 16-dim subspace), and queries scan codes with an ADC distance table
+# instead of raw vectors — a 64x storage/bandwidth cut. Codebooks here
+# are the deterministic seed sample (vec_id < 16, same seeds as the IVF
+# coarse quantizer); a real deployment k-means-refines them, which only
+# changes the codebook table, not these plans.
+
+PQ_M = 4          # subspaces
+PQ_SUBDIM = 16    # dims per subspace (4 x 16 = 64)
+PQ_K = 16         # codebook entries per subspace
+
+
+def _subvec(col, j):
+    return F.slice(col, j * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _l2sq(a, b):
+    """Elementwise squared-L2 over two slices, summed left-to-right (the
+    same fold order the DuckDB oracle's list_sum uses)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    """PQ encoding: per vector, the nearest codebook entry (squared-L2,
+    ties -> smallest cid) in each of the 4 subspaces. Broadcast codebook
+    + struct-min argmin per subspace — one narrow scan, one
+    map-side-combinable aggregate, no window. Distances are rounded to
+    9 decimals BEFORE the argmin so cross-engine summation ulps cannot
+    flip assignments near ties (same policy as ivf_assign)."""
+    cents = embeddings.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents))
+    aggs = []
+    for j in range(PQ_M):
+        d2 = F.round(
+            _l2sq(_subvec(F.col("embedding"), j), _subvec(F.col("cemb"), j)), 9
+        )
+        aggs.append(
+            F.min(F.struct(d2.alias("d"), F.col("cid").alias("c"))).alias(f"_m{j}")
+        )
+    return (
+        scored.groupBy("vec_id")
+        .agg(*aggs)
+        .select(
+            "vec_id",
+            *[
+                F.col(f"_m{j}.c").cast("int").alias(f"code{j}")
+                for j in range(PQ_M)
+            ],
+        )
+        .orderBy("vec_id")
+    )
+
+
+def topk_pq_adc(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """PQ ANN top-k via Asymmetric Distance Computation: the query's
+    per-(subspace, codebook-entry) distance table (m*k = 64 rows, tiny)
+    is broadcast and joined against the exploded code rows; the
+    approximate distance is the sum of the 4 table lookups. At corpus
+    scale the scan touches ONLY the 4-byte codes — never raw vectors —
+    and the join is a broadcast hash join, so the plan is one narrow
+    scan + one partial-agg shuffle + TakeOrdered."""
+    codes = pq_codes(embeddings)
+    cents = embeddings.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qemb")
+    )
+    dtab = None
+    for j in range(PQ_M):
+        part = q.crossJoin(F.broadcast(cents)).select(
+            F.lit(j).alias("sub_id"),
+            "cid",
+            F.round(
+                _l2sq(_subvec(F.col("qemb"), j), _subvec(F.col("cemb"), j)), 9
+            ).alias("d2"),
+        )
+        dtab = part if dtab is None else dtab.unionByName(part)
+    code_rows = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub_id"),
+                        F.col(f"code{j}").alias("cid"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.sub_id", "s.cid")
+    adc = (
+        code_rows.join(F.broadcast(dtab), ["sub_id", "cid"])
+        .groupBy("vec_id")
+        # 6-decimal output rounding absorbs group-sum ordering ulps of
+        # the four 9-decimal table entries
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    return (
+        adc.where(F.col("vec_id") != query_vec_id)
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label count + mean of the first embedding component —
     a groupBy with map-side partial aggregation."""

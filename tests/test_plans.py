@@ -144,3 +144,14 @@ def test_top_terms_broadcasts_the_vocabulary_side(spark):
     plan = plan_of(df, mode="simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_adc_topk_broadcasts_and_takes_ordered(spark):
+    # the ADC distance table (m*k = 64 rows) must broadcast, and the
+    # top-k must compile to TakeOrderedAndProject — the scan side only
+    # ever touches codes, never raw vectors
+    df = simsearch.topk_pq_adc(q.load(spark, SF_DIR, "embeddings"))
+    plan = plan_of(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
