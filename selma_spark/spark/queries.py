@@ -1526,6 +1526,62 @@ FROM agg ORDER BY rev DESC, p_brand LIMIT 10
 """
 
 
+def q_revenue_rollup(spark, sf_dir):
+    from . import relational  # noqa: PLC0415
+
+    return relational.revenue_rollup(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+ORACLE_REVENUE_ROLLUP = """
+SELECT coalesce(r_name, '(all)') AS r_name,
+       coalesce(n_name, '(all)') AS n_name,
+       count(*) AS n_orders,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+    AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY 1, 2
+"""
+
+
+def q_funnel_steps(spark, sf_dir):
+    from . import relational  # noqa: PLC0415
+
+    return relational.funnel_steps(load(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT v.user_id,
+  CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS INT)
+    AS steps_reached,
+  CAST(v.t_view AS VARCHAR) AS t_view,
+  coalesce(CAST(c.t_click AS VARCHAR), '') AS t_click,
+  coalesce(CAST(p.t_purchase AS VARCHAR), '') AS t_purchase
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+"""
+
+
 def q_priority_top_orders(spark, sf_dir):
     from . import relational  # noqa: PLC0415
 
@@ -1606,6 +1662,8 @@ def build_queries():
         "revenue_by_nation": q_revenue_by_nation,
         "brand_revenue_topk": q_brand_revenue_topk,
         "priority_top_orders": q_priority_top_orders,
+        "revenue_rollup": q_revenue_rollup,
+        "funnel_steps": q_funnel_steps,
     }
 
 
@@ -1667,4 +1725,6 @@ def build_oracles():
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
         "brand_revenue_topk": ORACLE_BRAND_REVENUE_TOPK,
         "priority_top_orders": ORACLE_PRIORITY_TOP_ORDERS,
+        "revenue_rollup": ORACLE_REVENUE_ROLLUP,
+        "funnel_steps": ORACLE_FUNNEL_STEPS,
     }

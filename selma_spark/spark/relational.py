@@ -103,6 +103,97 @@ def brand_revenue_topk(lineitem: DataFrame, part: DataFrame, k: int = 10) -> Dat
     )
 
 
+def revenue_rollup(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Multi-level ROLLUP through the same broadcast dimension chain:
+    (region, nation) subtotals, per-region subtotals, and the grand
+    total in ONE aggregation pass (Spark expands the grouping sets
+    map-side — no second scan per level). Rolled-up levels surface as
+    NULL group keys in both engines."""
+    j = (
+        orders.join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("revenue"),
+        )
+        # rolled-up levels surface as '(all)' instead of NULL: keeps the
+        # output free of NULL group keys (engine NULL-ordering and
+        # canonicalization differences) — '(all)' cannot collide with a
+        # real region/nation name in this schema
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("r_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def funnel_steps(events: DataFrame) -> DataFrame:
+    """Sequential funnel view -> click -> purchase per user: each step's
+    timestamp is the earliest qualifying event STRICTLY AFTER the
+    previous step. Three conditional min-aggregates chained by per-user
+    joins — every shuffle is on user_id, so at scale the three
+    aggregations co-partition and AQE collapses the tiny joins."""
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).alias("steps_reached"),
+            # string timestamps with '' for unreached steps: NULL-free
+            # output for stable cross-engine canonicalization
+            F.col("t_view").cast("string").alias("t_view"),
+            F.coalesce(F.col("t_click").cast("string"), F.lit("")).alias(
+                "t_click"
+            ),
+            F.coalesce(F.col("t_purchase").cast("string"), F.lit("")).alias(
+                "t_purchase"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 def priority_top_orders(orders: DataFrame, k: int = 5) -> DataFrame:
     """Per-priority top-k orders by total price: a PARTITIONED window
     (hash exchange on o_orderpriority, never a single global sort);
