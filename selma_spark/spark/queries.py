@@ -455,6 +455,53 @@ def _langid_oracle() -> str:
     )
 
 
+def q_lang_id_trigram(spark, sf_dir):
+    """Corpus-profile char-trigram language ID (Cavnar-Trenkle style):
+    per-lang top-64 document-frequent trigram profiles, broadcast into
+    per-document overlap scoring."""
+    return textops.lang_id_trigram(load(spark, sf_dir, "documents"))
+
+
+# mirrors textops.lang_id_trigram: distinct char trigrams, per-lang
+# top-64 by document frequency (ties lexicographic), overlap fraction,
+# argmax with smallest-lang tie-break, 'und' for trigram-less docs
+_DUCK_TRIGRAMS = """
+CASE WHEN length(coalesce(text, '')) >= 3
+     THEN list_distinct(list_transform(
+            range(1, length(coalesce(text, '')) - 1),
+            i -> substr(text, i, 3)))
+     ELSE [] END
+"""
+
+ORACLE_LANG_ID_TRIGRAM = f"""
+WITH tg AS (
+  SELECT doc_id, lang, u.tg
+  FROM (SELECT doc_id, lang, {_DUCK_TRIGRAMS} AS l FROM documents),
+       UNNEST(l) AS u(tg)),
+dfreq AS (SELECT lang, tg, count(*) AS df FROM tg GROUP BY 1, 2),
+prof AS (
+  SELECT lang, tg FROM (
+    SELECT lang, tg,
+           row_number() OVER (PARTITION BY lang ORDER BY df DESC, tg) AS rk
+    FROM dfreq) WHERE rk <= 64),
+doc_n AS (SELECT doc_id, count(*) AS n_tg FROM tg GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, p.lang,
+         round(count(*) / CAST(min(n.n_tg) AS DOUBLE), 9) AS score
+  FROM tg t
+  JOIN prof p ON t.tg = p.tg
+  JOIN doc_n n ON n.doc_id = t.doc_id
+  GROUP BY 1, 2),
+best AS (SELECT doc_id, max(score) AS b FROM hits GROUP BY 1),
+pred AS (
+  SELECT h.doc_id, min(h.lang) AS pred_lang
+  FROM hits h JOIN best b ON h.doc_id = b.doc_id AND h.score = b.b
+  GROUP BY 1)
+SELECT d.doc_id, coalesce(p.pred_lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN pred p USING (doc_id) ORDER BY doc_id
+"""
+
+
 def q_token_counts_bpe(spark, sf_dir):
     return textops.token_counts_bpe(load(spark, sf_dir, "documents"))
 
@@ -1624,6 +1671,7 @@ def build_queries():
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
+        "lang_id_trigram": q_lang_id_trigram,
         "largest_docs_by_lang": q_largest_docs_by_lang,
         "token_counts_bpe": q_token_counts_bpe,
         "layout_reading_order": q_layout_reading_order,
@@ -1687,6 +1735,7 @@ def build_oracles():
         "simhash": ORACLE_SIMHASH,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "lang_id": _langid_oracle(),
+        "lang_id_trigram": ORACLE_LANG_ID_TRIGRAM,
         "largest_docs_by_lang": ORACLE_LARGEST_DOCS,
         "token_counts_bpe": ORACLE_TOKEN_COUNTS_BPE,
         "layout_reading_order": ORACLE_LAYOUT_READING_ORDER,

@@ -359,6 +359,80 @@ _LANG_MARKERS = {
 }
 
 
+def _char_trigrams(text_col="text"):
+    """Distinct character 3-grams of a document (JVM-side)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return F.array_distinct(
+        F.when(
+            F.length(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: F.substring(t, i, 3),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def lang_id_trigram(documents: DataFrame, profile_k: int = 64) -> DataFrame:
+    """Corpus-profile language ID — the real n-gram classifier shape
+    (Cavnar-Trenkle style): per language, the top-``profile_k`` most
+    document-frequent character trigrams form the profile (ties broken
+    lexicographically); a document is classified to the language whose
+    profile overlaps the largest FRACTION of its distinct trigrams
+    (ties -> lexicographically smallest language).
+
+    Scale shape: profile construction is two partial-agg shuffles plus a
+    lang-PARTITIONED top-k window over the (tiny) per-lang trigram
+    vocabulary; the profile table (n_langs * k rows) is BROADCAST into
+    the per-document scoring join, and the argmax is a map-side
+    struct-max — the corpus never shuffles for classification."""
+    from pyspark.sql.window import Window
+
+    tri = documents.select(
+        "doc_id", "lang", F.explode(_char_trigrams()).alias("tg")
+    )
+    df_ = tri.groupBy("lang", "tg").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.col("tg"))
+    profiles = (
+        df_.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= profile_k)
+        .select("lang", "tg")
+    )
+    doc_tri = documents.select(
+        "doc_id",
+        F.explode(_char_trigrams()).alias("tg"),
+        F.size(_char_trigrams()).alias("_n_tg"),
+    )
+    # overlap count per (doc, lang); score = hits / n_doc_trigrams,
+    # rounded so cross-engine double division can't flip a near-tie
+    hits = (
+        doc_tri.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("_hits"),
+            F.first("_n_tg").alias("_n_tg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("_hits") / F.col("_n_tg"), 9).alias("_score"),
+        )
+    )
+    # argmax via struct-max over a reversed-lang key: (score, rev) max =
+    # highest score, tie -> smallest lang (rev = negated char codes is
+    # engine-hostile; use a second aggregate on the max score instead)
+    best_score = hits.groupBy("doc_id").agg(F.max("_score").alias("_best"))
+    pred = (
+        hits.join(best_score, "doc_id")
+        .where(F.col("_score") == F.col("_best"))
+        .groupBy("doc_id")
+        .agg(F.min("lang").alias("pred_lang"))
+    )
+    return documents.select("doc_id").join(pred, "doc_id", "left").select(
+        "doc_id", F.coalesce("pred_lang", F.lit("und")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
 def lang_id_ngram(documents: DataFrame) -> DataFrame:
     """Language-ID heuristic: score = marker-token hits per language,
     predict argmax (ties -> 'und'). Structured like a real n-gram
