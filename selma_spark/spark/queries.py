@@ -1418,6 +1418,22 @@ ORDER BY cosine DESC, b.vec_id LIMIT 10
 """
 
 
+def q_kmeans_step(spark, sf_dir):
+    """One distributed Lloyd iteration: IVF assignment + component-wise
+    centroid mean recompute, one row per (cid, dim)."""
+    return simsearch.kmeans_step(load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_KMEANS_STEP = f"""
+WITH {_DUCK_IVF_ASSIGN},
+av AS (
+  SELECT b.cid, CAST(u.d AS INT) AS dim, e.emb[u.d + 1] AS v
+  FROM best b JOIN e ON e.vec_id = b.vec_id, UNNEST(range(0, 64)) AS u(d))
+SELECT cid, dim, round(avg(v), 6) AS centroid
+FROM av GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encoding: nearest codebook entry (squared
     L2, ties -> smallest cid) per 16-dim subspace, 4 codes per vector."""
@@ -1705,6 +1721,7 @@ def build_queries():
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "pq_codes": q_pq_codes,
         "embedding_topk_pq": q_embedding_topk_pq,
+        "kmeans_step": q_kmeans_step,
         "simhash_near_dup": q_simhash_near_dup,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1769,6 +1786,7 @@ def build_oracles():
         "embedding_topk_ivf": ORACLE_EMBEDDING_TOPK_IVF,
         "pq_codes": ORACLE_PQ_CODES,
         "embedding_topk_pq": ORACLE_EMBEDDING_TOPK_PQ,
+        "kmeans_step": ORACLE_KMEANS_STEP,
         "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
         "pricing_summary": ORACLE_PRICING_SUMMARY,
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,

@@ -189,6 +189,30 @@ def topk_cosine_ivf(
     )
 
 
+def kmeans_step(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """One distributed Lloyd iteration over the IVF coarse quantizer:
+    assign every vector to its nearest centroid (ivf_assign — broadcast
+    centroids, struct-max argmax), then recompute each centroid as the
+    component-wise mean of its assigned vectors. Output is one row per
+    (cid, dim) so no float-array stringification is needed cross-engine.
+
+    Scale shape: the only shuffle is the (cid, dim) partial-agg mean —
+    the classic distributed k-means step. A full refinement loop
+    composes this with a centroid-table swap per round and a
+    localCheckpoint per iteration (the near_dup_clusters pattern);
+    assignment cost stays broadcast-join narrow throughout."""
+    assign = ivf_assign(embeddings, n_centroids)
+    joined = assign.join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    ex = joined.select("cid", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        ex.groupBy("cid", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+        .orderBy("cid", "dim")
+    )
+
+
 # --- product quantization (PQ) ---------------------------------------------
 # The ANN compression path a 100TB vector corpus actually stores: each
 # 64-dim vector becomes m=4 one-byte codes (nearest codebook entry per
