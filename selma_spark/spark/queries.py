@@ -1645,6 +1645,29 @@ ORDER BY v.user_id
 """
 
 
+def q_asof_view_purchase(spark, sf_dir):
+    """AS-OF join (union + partitioned running-max window in Spark,
+    native ASOF JOIN in the DuckDB oracle)."""
+    from . import relational  # noqa: PLC0415
+
+    return relational.asof_last_view_before_purchase(
+        load(spark, sf_dir, "events")
+    )
+
+
+ORACLE_ASOF_VIEW_PURCHASE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       CAST(p.ts AS VARCHAR) AS purchase_ts,
+       coalesce(CAST(v.ts AS VARCHAR), '') AS last_view_ts
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
 def q_priority_top_orders(spark, sf_dir):
     from . import relational  # noqa: PLC0415
 
@@ -1729,6 +1752,7 @@ def build_queries():
         "priority_top_orders": q_priority_top_orders,
         "revenue_rollup": q_revenue_rollup,
         "funnel_steps": q_funnel_steps,
+        "asof_view_purchase": q_asof_view_purchase,
     }
 
 
@@ -1794,4 +1818,5 @@ def build_oracles():
         "priority_top_orders": ORACLE_PRIORITY_TOP_ORDERS,
         "revenue_rollup": ORACLE_REVENUE_ROLLUP,
         "funnel_steps": ORACLE_FUNNEL_STEPS,
+        "asof_view_purchase": ORACLE_ASOF_VIEW_PURCHASE,
     }

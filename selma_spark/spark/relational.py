@@ -194,6 +194,48 @@ def funnel_steps(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_last_view_before_purchase(events: DataFrame) -> DataFrame:
+    """AS-OF join, Spark-first: each purchase is joined to the user's
+    most recent view at-or-before the purchase timestamp. Spark has no
+    native ASOF operator; the scalable re-expression is a UNION of both
+    sides tagged by kind plus ONE user-partitioned running-max window —
+    never a per-row range subquery or an inequality join (which Spark
+    plans as a broadcast nested loop and which explodes at corpus
+    scale). At equal timestamps the view sorts before the purchase, so
+    `view.ts <= purchase.ts` semantics match DuckDB's native ASOF JOIN
+    (the oracle) exactly."""
+    from pyspark.sql.window import Window
+
+    tagged = events.where(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("_k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_k", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_last = tagged.withColumn(
+        "_last_view_ts", F.max(F.when(F.col("_k") == 0, F.col("ts"))).over(w)
+    )
+    return (
+        with_last.where(F.col("_k") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("purchase_ts"),
+            F.coalesce(
+                F.col("_last_view_ts").cast("string"), F.lit("")
+            ).alias("last_view_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def priority_top_orders(orders: DataFrame, k: int = 5) -> DataFrame:
     """Per-priority top-k orders by total price: a PARTITIONED window
     (hash exchange on o_orderpriority, never a single global sort);

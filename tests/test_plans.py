@@ -155,3 +155,17 @@ def test_pq_adc_topk_broadcasts_and_takes_ordered(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_asof_join_is_window_not_nested_loop(spark):
+    # the as-of join must compile to a user_id-partitioned window over
+    # the tagged union — never an inequality join (BroadcastNestedLoop),
+    # which is the scale trap a naive range-condition join falls into
+    from selma_spark.spark import relational
+
+    df = relational.asof_last_view_before_purchase(
+        q.load(spark, SF_DIR, "events")
+    )
+    plan = plan_of(df, mode="simple")
+    assert "NestedLoop" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
