@@ -1645,6 +1645,48 @@ ORDER BY v.user_id
 """
 
 
+_PROMOS = [
+    # (promo_id, start, end): 20 seven-hour promo windows, 36h apart,
+    # covering the corpus's single month (2024-01) deterministically
+    (
+        p,
+        f"2024-01-{1 + (36 * p) // 24:02d} {(36 * p) % 24:02d}:00:00",
+        f"2024-01-{1 + (36 * p + 7) // 24:02d} {(36 * p + 7) % 24:02d}:00:00",
+    )
+    for p in range(20)
+]
+
+
+def q_range_join_promos(spark, sf_dir):
+    """Bucketed range join: events contained in deterministic promo
+    intervals (6-hour-grid candidate buckets + exact refine)."""
+    from . import relational  # noqa: PLC0415
+
+    intervals = spark.createDataFrame(
+        _PROMOS, "promo_id int, start_ts string, end_ts string"
+    ).select(
+        "promo_id",
+        F.col("start_ts").cast("timestamp_ntz").alias("start_ts"),
+        F.col("end_ts").cast("timestamp_ntz").alias("end_ts"),
+    )
+    return relational.promo_range_join(
+        load(spark, sf_dir, "events"), intervals
+    )
+
+
+def _range_join_oracle() -> str:
+    values = ", ".join(
+        f"({p}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for p, s, e in _PROMOS
+    )
+    return f"""
+WITH promos(promo_id, start_ts, end_ts) AS (VALUES {values})
+SELECT e.event_id, p.promo_id
+FROM events e JOIN promos p
+  ON e.ts >= p.start_ts AND e.ts < p.end_ts
+ORDER BY e.event_id, p.promo_id
+"""
+
+
 def q_asof_view_purchase(spark, sf_dir):
     """AS-OF join (union + partitioned running-max window in Spark,
     native ASOF JOIN in the DuckDB oracle)."""
@@ -1753,6 +1795,7 @@ def build_queries():
         "revenue_rollup": q_revenue_rollup,
         "funnel_steps": q_funnel_steps,
         "asof_view_purchase": q_asof_view_purchase,
+        "range_join_promos": q_range_join_promos,
     }
 
 
@@ -1819,4 +1862,5 @@ def build_oracles():
         "revenue_rollup": ORACLE_REVENUE_ROLLUP,
         "funnel_steps": ORACLE_FUNNEL_STEPS,
         "asof_view_purchase": ORACLE_ASOF_VIEW_PURCHASE,
+        "range_join_promos": _range_join_oracle(),
     }

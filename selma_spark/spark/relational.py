@@ -194,6 +194,55 @@ def funnel_steps(events: DataFrame) -> DataFrame:
     )
 
 
+def _six_hour_bucket(ts_col):
+    """6-hour grid bucket from (day-of-month, hour) components — NTZ-safe
+    (no epoch cast; TIMESTAMP_NTZ refuses numeric casts). Single-month
+    corpus assumption documented in promo_range_join."""
+    return (
+        (F.dayofmonth(ts_col) - 1) * 4 + F.floor(F.hour(ts_col) / 6)
+    ).cast("int")
+
+
+def promo_range_join(events: DataFrame, intervals: DataFrame) -> DataFrame:
+    """Range (interval-containment) join, Spark-first: event ts in
+    [start_ts, end_ts). A naive range-condition join plans as a
+    broadcast nested loop over ALL (event, interval) pairs — quadratic
+    at corpus scale. The scalable shape buckets the time axis (6-hour
+    grid), explodes each interval into the buckets it spans (intervals
+    are few; the exploded table broadcasts), equi-joins on bucket, and
+    refines with the exact range predicate — candidates are only the
+    events sharing a bucket with an interval.
+
+    The demo grid keys on (day-of-month, hour) because the corpus spans
+    one month and TIMESTAMP_NTZ refuses epoch casts; a production grid
+    keys on epoch seconds with the same explode/equi-join/refine shape.
+    Intervals must not span a month boundary (their bucket sequence
+    would break); the refine predicate keeps correctness exact for any
+    candidate the bucketing produces."""
+    iv = intervals.select(
+        "promo_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                _six_hour_bucket(F.col("start_ts")),
+                _six_hour_bucket(F.expr("end_ts - INTERVAL 1 SECOND")),
+            )
+        ).alias("bucket"),
+    )
+    evb = events.select(
+        "event_id", "ts", _six_hour_bucket(F.col("ts")).alias("bucket")
+    )
+    return (
+        evb.join(F.broadcast(iv), "bucket")
+        .where(
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+        )
+        .select("event_id", "promo_id")
+        .orderBy("event_id", "promo_id")
+    )
+
+
 def asof_last_view_before_purchase(events: DataFrame) -> DataFrame:
     """AS-OF join, Spark-first: each purchase is joined to the user's
     most recent view at-or-before the purchase timestamp. Spark has no

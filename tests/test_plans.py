@@ -169,3 +169,15 @@ def test_asof_join_is_window_not_nested_loop(spark):
     plan = plan_of(df, mode="simple")
     assert "NestedLoop" not in plan, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_range_join_is_bucketed_hash_join(spark):
+    # interval containment must compile to an equi-join on the time
+    # bucket (BroadcastHashJoin) + refine filter — never the quadratic
+    # BroadcastNestedLoopJoin a raw range-condition join produces
+    from selma_spark.spark.queries import q_range_join_promos
+
+    df = q_range_join_promos(spark, SF_DIR)
+    plan = plan_of(df, mode="simple")
+    assert "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
