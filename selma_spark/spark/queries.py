@@ -1347,6 +1347,41 @@ ORDER BY s.doc_id
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli corpus sampling (md5-hash
+    membership — reproducible across runs/partitionings/engines)."""
+    return textops.stratified_sample(load(spark, sf_dir, "documents"))
+
+
+def _stratified_sample_oracle() -> str:
+    from .textops import SAMPLE_DEFAULT_RATE, SAMPLE_RATES  # noqa: PLC0415
+
+    # u = first 32 md5 bits of CAST(doc_id AS VARCHAR), via 4 hex-byte
+    # extractions (same _duck_md5_byte arithmetic as the media oracles)
+    def byte(i):
+        d1 = f"substr(hx, {2 * i + 1}, 1)"
+        d2 = f"substr(hx, {2 * i + 2}, 1)"
+        return (
+            f"((strpos('0123456789abcdef', {d1}) - 1) * 16"
+            f" + strpos('0123456789abcdef', {d2}) - 1)"
+        )
+
+    u = " + ".join(
+        f"{byte(i)} * {1 << (8 * (3 - i))}" for i in range(4)
+    )
+    case = "CASE "
+    for lang, rate in sorted(SAMPLE_RATES.items()):
+        case += f"WHEN lang = '{lang}' THEN {int(rate * (1 << 32))} "
+    case += f"ELSE {int(SAMPLE_DEFAULT_RATE * (1 << 32))} END"
+    return f"""
+WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+           FROM documents)
+SELECT doc_id, lang FROM h
+WHERE {u} < {case}
+ORDER BY doc_id
+"""
+
+
 def q_salted_lang_counts(spark, sf_dir):
     """Explicit two-stage salted aggregation (hot-key spreading) with a
     deterministic salt so the per-salt partial count is value-checked."""
@@ -1781,6 +1816,7 @@ def build_queries():
         "chunk_documents": q_chunk_documents,
         "redact_pii": q_redact_pii,
         "corpus_keep_list": q_corpus_keep_list,
+        "stratified_sample": q_stratified_sample,
         "salted_lang_counts": q_salted_lang_counts,
         "ivf_cells": q_ivf_cells,
         "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -1848,6 +1884,7 @@ def build_oracles():
         "chunk_documents": ORACLE_CHUNKS,
         "redact_pii": ORACLE_REDACT,
         "corpus_keep_list": ORACLE_KEEP_LIST,
+        "stratified_sample": _stratified_sample_oracle(),
         "salted_lang_counts": ORACLE_SALTED_LANG_COUNTS,
         "ivf_cells": ORACLE_IVF_CELLS,
         "embedding_topk_ivf": ORACLE_EMBEDDING_TOPK_IVF,

@@ -758,6 +758,36 @@ def salted_lang_counts(documents: DataFrame, n_salts: int = 8) -> DataFrame:
     )
 
 
+# per-language sampling rates for the data-mixing downsampler (the
+# usual shape: keep high-resource langs at a lower rate)
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25}
+SAMPLE_DEFAULT_RATE = 0.1
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic stratified (per-language) Bernoulli sampling — the
+    corpus-mixing downsampler of a training pipeline. A document is kept
+    iff the first 32 md5 bits of its doc_id fall under the language's
+    rate threshold: reproducible across runs/partitionings/engines
+    (unlike DataFrame.sample, whose outcome depends on partition layout
+    and seed plumbing), one narrow scan, no shuffle until the
+    presentation sort. Rates compose exactly with downstream filters
+    because membership is a pure function of doc_id."""
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    thresh = F.lit(int(SAMPLE_DEFAULT_RATE * (1 << 32))).cast("bigint")
+    for lang, rate in sorted(SAMPLE_RATES.items()):
+        thresh = F.when(
+            F.col("lang") == lang, F.lit(int(rate * (1 << 32))).cast("bigint")
+        ).otherwise(thresh)
+    return (
+        documents.where(u < thresh)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The full two-stage near-dup pipeline: LSH band join generates
     candidates (cheap, shuffles on the band key only), then exact
