@@ -219,7 +219,11 @@ def promo_range_join(events: DataFrame, intervals: DataFrame) -> DataFrame:
     Intervals must not span a month boundary (their bucket sequence
     would break); the refine predicate keeps correctness exact for any
     candidate the bucketing produces."""
-    iv = intervals.select(
+    # degenerate intervals (end_ts <= start_ts) match nothing under the
+    # half-open predicate, but F.sequence would auto-step -1 through a
+    # DESCENDING bucket list and silently explode spurious candidates
+    # (ADVICE r3) — drop them before the explode
+    iv = intervals.where(F.col("end_ts") > F.col("start_ts")).select(
         "promo_id",
         "start_ts",
         "end_ts",

@@ -537,7 +537,18 @@ def top_terms_tfidf(
     shuffles on term at all. Past the cap it falls back to a hash join,
     where AQE's skew-join split handles the hot keys. The vocabulary
     frame is localCheckpointed: it feeds the row-count guard AND the
-    join, and each evaluation costs a corpus-wide explode+groupBy."""
+    join, and each evaluation costs a corpus-wide explode+groupBy.
+
+    NOTE: construction is EAGER (ADVICE r3) — the localCheckpoint and
+    the ``df_.count()`` broadcast guard run a corpus-wide
+    explode+groupBy job when this function is CALLED, not when the
+    returned frame is first executed, and the checkpointed vocabulary
+    blocks stay pinned until the frame is GC'd. That is deliberate: the
+    broadcast-vs-hash-join decision needs the real vocabulary size, and
+    a wrong guess the other way costs far more than one eager job.
+    Callers that need a lazy plan should pass
+    ``vocab_broadcast_max=0`` (skips the count; always hash join —
+    still checkpoint-eager) or build the plan themselves."""
     from pyspark.sql.window import Window
 
     terms = documents.select(

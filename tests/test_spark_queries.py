@@ -99,6 +99,24 @@ def test_every_query_has_an_oracle():
     assert sorted(QS) == sorted(ORACLES)
 
 
+def test_corpus_invariant_for_synth_html_oracles():
+    """ADVICE r3: the synthesized-HTML oracles (text_within_ignore,
+    annotate_paragraphs, extract_external_links) assume every corpus
+    ``text`` is non-empty and contains no '<' — an empty text yields 1
+    chunk vs the oracle's hard-coded 2, and a '<' would change parsing
+    vs the literal-concatenation oracle. Pin the fixture invariant here
+    so a regenerated corpus fails LOUDLY at the fixture level instead of
+    as an inscrutable oracle mismatch."""
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        bad = con.execute(
+            "SELECT count(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE text IS NULL OR text = '' OR contains(text, '<')"
+        ).fetchone()[0]
+        assert bad == 0, f"{sf}: {bad} docs break the synth-HTML oracle assumption"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
