@@ -283,7 +283,7 @@ def main():
         "pricing_summary",
         "revenue_by_nation",
     ):
-        fn = q.build_queries()[name]
+        fn = q.all_queries()[name]
         dt, _ = _timed(lambda: fn(spark, SF_DIR).count())
         queries_t[name] = round(dt, 3)
     spark.stop()
