@@ -189,17 +189,23 @@ def lsh_bands(
 
 
 def near_dup_pairs(
-    documents: DataFrame, max_band_size: int = 50, sig: DataFrame | None = None
+    documents: DataFrame,
+    max_band_size: int = 50,
+    sig: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs over all 4 minhash bands: docs sharing any
     band bucket are candidate near-duplicates (verified downstream).
     The self-join shuffles on the band key only, and every bucket is
     pre-capped at ``max_band_size`` docs, so per-bucket fan-out is
-    bounded by max_band_size^2/2 — no quadratic blow-up on hot bands."""
+    bounded by max_band_size^2/2 — no quadratic blow-up on hot bands.
+    ``ordered=False`` skips the presentation sort for pipeline use
+    (near_dup_verified re-sorts after its own filter anyway — Catalyst
+    does not eliminate an intermediate global sort under a join)."""
     kept = lsh_bands(documents, max_band_size=max_band_size, sig=sig)
     a = kept.alias("a")
     b = kept.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -211,8 +217,8 @@ def near_dup_pairs(
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
 # Single-pass 64-bit SimHash: md5 computed ONCE per token, its first 16
@@ -809,7 +815,7 @@ def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     # generation AND both sides of the verify join (a second corpus-wide
     # shingle pass otherwise — VERDICT r2 #6)
     sig = _lsh_signature_frame(documents, with_shingles=True)
-    cands = near_dup_pairs(documents, sig=sig)
+    cands = near_dup_pairs(documents, sig=sig, ordered=False)
     sh = sig.select("doc_id", "sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
@@ -818,8 +824,19 @@ def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame
         / F.size(F.array_union("sa", "sb")),
         4,
     )
+    # size-ratio prefilter (VERDICT r3 #2): J(A,B) <= min|.|/max|.|, so
+    # J >= t REQUIRES t*|A| <= |B| and t*|B| <= |A| — a necessary
+    # condition on the (already-materialized) shingle-set sizes that
+    # skips the expensive array_intersect/array_union for size-skewed
+    # candidate pairs with ZERO recall loss (the predicate is implied by
+    # the final jaccard filter, so results are identical)
+    sz_ok = (
+        (F.size("sa") * F.lit(threshold) <= F.size("sb"))
+        & (F.size("sb") * F.lit(threshold) <= F.size("sa"))
+    )
     return (
         cands.join(a, "doc_a").join(b, "doc_b")
+        .where(sz_ok)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
