@@ -30,6 +30,7 @@ keeps untouched elements byte-identical).
 
 from __future__ import annotations
 
+import gc
 import re
 
 from . import tokenizer as tk
@@ -457,14 +458,29 @@ class Rewriter:
             # rewriter.rs:156-227 + test/selma_rewriter_test.rb:60-76)
             if len(html.encode("utf-8", "ignore")) > self.max_allowed_memory_usage:
                 raise MemoryLimitError("The memory limit has been exceeded")
-        if self.handlers or self.sanitizer is None:
-            out = _run_pass(html, self.sanitizer, self.handlers)
-        else:
-            out = _sanitize_pass(html, self.sanitizer)
-        if self.sanitizer is not None and _needs_final_pass(
-            out, self._final_gate_re
-        ):
-            out = _final_pass(out, self.sanitizer)
+        # Pause cyclic GC for the duration of the call: a multi-MB doc
+        # materializes 100k+ Token/_Node objects that are all garbage at
+        # return, and young-gen scans of that live list while it grows
+        # cost ~40% of tokenize time (measured 4.3 -> 7.0 MB/s on a
+        # 7.2MB doc). All per-call allocations die at return, so cyclic
+        # garbage (if handler code makes any) is reclaimed at the next
+        # natural collection once re-enabled. Reentrancy-safe: a nested
+        # rewrite sees gc already off and leaves it off.
+        was_enabled = gc.isenabled()
+        if was_enabled:
+            gc.disable()
+        try:
+            if self.handlers or self.sanitizer is None:
+                out = _run_pass(html, self.sanitizer, self.handlers)
+            else:
+                out = _sanitize_pass(html, self.sanitizer)
+            if self.sanitizer is not None and _needs_final_pass(
+                out, self._final_gate_re
+            ):
+                out = _final_pass(out, self.sanitizer)
+        finally:
+            if was_enabled:
+                gc.enable()
         return out
 
 
