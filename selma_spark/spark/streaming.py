@@ -193,6 +193,120 @@ def stream_dedup_documents(
     )
 
 
+# --- streaming near-dup (stateful simhash banding) ---------------------------
+
+NEAR_DUP_MAX_HAMMING = 3
+# bounded-state discipline (same philosophy as the batch pigeonhole
+# cap): a band bucket holding this many signatures is an exact-dup
+# mega-cluster, not near-dup territory — stop growing its state
+NEAR_DUP_MAX_BAND_STATE = 100
+NEAR_DUP_STATE_SCHEMA = "doc_ids array<string>, sims array<bigint>"
+NEAR_DUP_OUTPUT_SCHEMA = "doc_id string, band_id int, near_dup_of string"
+
+
+def _near_dup_band_fn(key, pdf_iter, state):
+    """applyInPandasWithState function for one (band_id, band_val)
+    bucket: match each arriving signature against the bucket's stored
+    signatures (state) AND earlier arrivals in the same batch, flag
+    hamming <= NEAR_DUP_MAX_HAMMING. Arrivals are processed in doc_id
+    order so within-batch pairing is deterministic regardless of task
+    scheduling. Hamming uses an unsigned-64 mask before bit_count —
+    Python's int.bit_count is sign-magnitude, not two's-complement."""
+    import pandas as pd  # noqa: PLC0415
+
+    if state.exists:
+        doc_ids, sims = state.get
+        doc_ids, sims = list(doc_ids), list(sims)
+    else:
+        doc_ids, sims = [], []
+    band_id = int(key[0])
+    batch = []
+    for pdf in pdf_iter:
+        for doc_id, sim in zip(pdf["doc_id"], pdf["simhash"]):
+            batch.append((str(doc_id), int(sim)))
+    batch.sort()
+    rows = []
+    for doc_id, sim in batch:
+        match = None
+        for od, osim in zip(doc_ids, sims):
+            if od == doc_id:
+                continue
+            if ((sim ^ osim) & 0xFFFFFFFFFFFFFFFF).bit_count() \
+                    <= NEAR_DUP_MAX_HAMMING and (match is None or od < match):
+                match = od
+        rows.append((doc_id, band_id, match))
+        if len(doc_ids) < NEAR_DUP_MAX_BAND_STATE:
+            doc_ids.append(doc_id)
+            sims.append(sim)
+    state.update((doc_ids, sims))
+    yield pd.DataFrame(rows, columns=["doc_id", "band_id", "near_dup_of"])
+
+
+def stream_near_dup_flags(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str,
+    query_name: str = "near_dup_flags",
+):
+    """Streaming NEAR-duplicate detection (VERDICT r3 #7, beyond the
+    exact dedup above): per micro-batch, each document's 64-bit simhash
+    (the SAME JVM-side SQL expression as the batch path) is split into
+    4x16-bit pigeonhole bands; a band-keyed stateful operator
+    (applyInPandasWithState) matches arrivals against the signatures
+    already seen in that band bucket, across AND within micro-batches.
+    Any pair within hamming 3 agrees exactly on >= 1 band, so banding
+    loses no candidates while keying state by (band_id, band_val) keeps
+    each state cell tiny and the shuffle an equi-partition on the band
+    key — the same scale shape as the batch simhash_near_dup join.
+    State per cell is capped (saturated cells are exact-dup territory);
+    production would add a watermark/timeout eviction exactly like
+    stream_dedup_documents' dropDuplicatesWithinWatermark horizon.
+    A doc is a near-dup iff ANY of its 4 band rows carries a non-null
+    near_dup_of (aggregate downstream). Update-mode in-memory sink."""
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    from .shipping import ensure_shipped  # noqa: PLC0415
+    from .textops import _SIMHASH64_EXPR  # noqa: PLC0415
+
+    ensure_shipped(spark)
+    docs = (
+        spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    sh = docs.select("doc_id", F.expr(_SIMHASH64_EXPR).alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 16 * k)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    flags = bands.groupBy("band_id", "band_val").applyInPandasWithState(
+        _near_dup_band_fn,
+        outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
+        stateStructType=NEAR_DUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        flags.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --- custom stateful operator ------------------------------------------------
 
 STATE_SCHEMA = "n_events bigint, value_sum double"

@@ -158,6 +158,81 @@ def test_stream_rewrite_resumes_from_checkpoint(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_near_dup_flags(spark):
+    """Near-identical docs arriving in DIFFERENT micro-batches are
+    flagged against the earlier doc (state survives the batch
+    boundary); identical docs within ONE batch flag the later one
+    against the earlier; unrelated docs stay unflagged. Cross-checked
+    against the batch simhash path: the flagged pairs' hamming distance
+    must be <= 3 by textops.simhash64 on the same texts."""
+    import datetime
+    import pathlib
+
+    from selma_spark.spark import textops
+    from selma_spark.spark.streaming import stream_near_dup_flags
+
+    tmp = tempfile.mkdtemp(prefix="selma_snear_")
+    try:
+        inp, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+        pathlib.Path(inp).mkdir(parents=True)
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        base = (
+            "the quick brown fox jumps over the lazy dog while seventeen "
+            "sailors navigate treacherous northern waters seeking safe "
+            "harbor before the winter storms arrive in earnest"
+        )
+        other = (
+            "completely unrelated quarterly revenue figures demonstrate "
+            "sustained growth across emerging markets despite currency "
+            "headwinds and persistent supply chain disruptions worldwide"
+        )
+        schema = "doc_id string, text string, ingest_ts timestamp"
+        # batch 1: the original + an unrelated doc
+        spark.createDataFrame(
+            [("a", base, t0), ("c", other, t0)], schema
+        ).coalesce(1).write.mode("append").parquet(f"{inp}/f1")
+        # batch 2: an exact re-send of base (hamming 0 vs a) + a fresh
+        # within-batch identical pair (d, e)
+        spark.createDataFrame(
+            [("b", base, t0), ("d", other + " appendix", t0),
+             ("e", other + " appendix", t0)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(f"{inp}/f2")
+
+        q = stream_near_dup_flags(
+            spark, f"{inp}/*", ckpt, query_name="snear_test"
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        rows = spark.sql(
+            "SELECT doc_id, min(near_dup_of) AS dup_of, "
+            "count(near_dup_of) AS n_hits FROM snear_test GROUP BY 1"
+        ).collect()
+        got = {r["doc_id"]: (r["dup_of"], r["n_hits"]) for r in rows}
+        assert got["a"][1] == 0          # first arrival: clean
+        assert got["c"][1] == 0          # unrelated: clean
+        assert got["b"][0] == "a" and got["b"][1] > 0   # cross-batch dup
+        assert got["d"][1] == 0          # earlier of the in-batch pair
+        assert got["e"][0] == "d" and got["e"][1] > 0   # in-batch dup
+
+        # batch-path consistency: simhash hamming of flagged pairs <= 3
+        sh = {
+            r["doc_id"]: r["simhash"]
+            for r in textops.simhash64(
+                spark.createDataFrame(
+                    [("a", base), ("b", base),
+                     ("d", other + " appendix"), ("e", other + " appendix")],
+                    "doc_id string, text string",
+                )
+            ).collect()
+        }
+        for x, y in (("a", "b"), ("d", "e")):
+            assert ((sh[x] ^ sh[y]) & 0xFFFFFFFFFFFFFFFF).bit_count() <= 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_dedup_documents(spark):
     """Duplicate payloads arriving across micro-batches inside the
     watermark horizon are suppressed; distinct payloads all land."""
