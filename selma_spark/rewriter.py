@@ -42,7 +42,7 @@ from .sanitizer import (
     unescape_html,
 )
 from .selector import Selector
-from .tags import ESCAPEWORTHY_TAGS, VOID_TAGS
+from .tags import ESCAPEWORTHY_TAGS, TEXT_TYPE_CDATA, VOID_TAGS
 
 _MISSING = object()
 
@@ -988,6 +988,51 @@ def _run_pass(html, sanitizer, handlers) -> str:
             continue
 
         if kind == COMMENT:
+            # CDATA sections in foreign content (reference
+            # text_chunk.rs:63-70): the context-free tokenizer lexes
+            # <![CDATA[..]]> as a bogus comment, but inside an OPEN
+            # svg/math subtree it is character data — dispatch it to the
+            # active text handlers as a ``cdata_section`` chunk, keeping
+            # the delimiters (the chunk is the character data only, as
+            # in lol-html). CDATA whose data contains '>' still splits
+            # at the first '>' (DIVERGENCES.md: context-free lexing).
+            if (
+                tactive_counts
+                and (open_counts.get("svg") or open_counts.get("math"))
+                and tok.end - tok.start >= 12
+                and html.startswith("<![CDATA[", tok.start, tok.end)
+                and html.startswith("]]>", tok.end - 3, tok.end)
+            ):
+                content = html[tok.start + 9 : tok.end - 3]
+                if content:
+                    chunk = TextChunk(content, TEXT_TYPE_CDATA)
+                    dispatched = False
+                    for h_idx in sorted(tactive_counts):
+                        h = handlers[h_idx]
+                        ignore = h.selector.ignore_text_within
+                        if ignore and any(
+                            name in ignore for name in ruby_stack
+                        ):
+                            continue
+                        if not h.has_text:
+                            raise RewriteError(
+                                "handler with match_text_within must define "
+                                "handle_text_chunk"
+                            )
+                        h.obj.handle_text_chunk(chunk)
+                        dispatched = True
+                    if dispatched or chunk.before_parts or chunk.after_parts:
+                        if suppress == 0:
+                            flush()
+                            emit("<![CDATA[")
+                            for p in chunk.before_parts:
+                                emit(p)
+                            if not chunk.removed:
+                                emit(chunk.content)
+                            for p in chunk.after_parts:
+                                emit(p)
+                            emit("]]>")
+                        continue
             if sanitizer is not None and not sanitizer.allow_comments:
                 pass  # removed
             elif suppress == 0:

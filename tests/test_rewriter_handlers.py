@@ -346,6 +346,49 @@ def test_missing_handle_element_tolerated():
     assert rewrite("<b>Wow!</b>", h) == "<b>Wow!</b>"
 
 
+# --- CDATA sections in foreign content (reference text_chunk.rs:63-70) -----
+
+def test_cdata_section_text_type_in_svg():
+    seen = []
+
+    def text(s, t):
+        seen.append((t.text_type, t.content))
+
+    h = H(Selector(match_text_within="svg"), text=text)
+    out = rewrite("<svg><![CDATA[x]]></svg>", h)
+    assert out == "<svg><![CDATA[x]]></svg>"
+    assert ("cdata_section", "x") in seen
+
+
+def test_cdata_section_mutation_keeps_delimiters():
+    def text(s, t):
+        if t.text_type == "cdata_section":
+            t.replace("y", as_="text")
+
+    h = H(Selector(match_text_within="math"), text=text)
+    assert rewrite("<math><![CDATA[x]]></math>", h) == "<math><![CDATA[y]]></math>"
+
+
+def test_cdata_outside_foreign_content_stays_comment():
+    seen = []
+    h = H(Selector(match_text_within="*"),
+          text=lambda s, t: seen.append(t.text_type))
+    out = rewrite("<div><![CDATA[x]]></div>", h)
+    # HTML content: a bogus comment, NOT character data — no cdata
+    # dispatch, construct passes through verbatim (handlers-only path)
+    assert out == "<div><![CDATA[x]]></div>"
+    assert "cdata_section" not in seen
+
+
+def test_cdata_empty_is_suppressed_like_empty_text():
+    seen = []
+    h = H(Selector(match_text_within="svg"),
+          text=lambda s, t: seen.append(t.text_type))
+    out = rewrite("<svg><![CDATA[]]></svg>", h)
+    assert out == "<svg><![CDATA[]]></svg>"
+    assert "cdata_section" not in seen  # empty-chunk suppression
+
+
 def test_missing_handle_text_chunk_raises():
     h = H(Selector(match_text_within="strong"))
     with pytest.raises(RuntimeError):
