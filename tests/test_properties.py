@@ -145,6 +145,70 @@ def test_sanitize_fast_path_equals_handler_path(html):
         assert fast == slow, (html, fast, slow)
 
 
+class _Universal:
+    """A no-op universal element handler: its required_tags is None, so
+    its PRESENCE disables the inert fast-skip dispatch without changing
+    any output — the perfect differential switch for that path."""
+
+    def selector(self):
+        from selma_spark.selector import Selector
+
+        return Selector(match_element="*")
+
+    def handle_element(self, element):
+        pass
+
+
+def _mutating_handlers(log):
+    from selma_spark.selector import Selector
+
+    class BAttr:
+        def selector(self):
+            return Selector(match_element="b")
+
+        def handle_element(self, el):
+            el.set_attribute("data-x", "1")
+
+    class DivText:
+        def selector(self):
+            return Selector(match_text_within="div",
+                            ignore_text_within=["xmp"])
+
+        def handle_text_chunk(self, chunk):
+            log.append(chunk.content)
+
+    class PEnd:
+        def selector(self):
+            return Selector(match_element="p")
+
+        def handle_element(self, el):
+            pass
+
+        def on_end_tag(self, end):
+            log.append(f"</{end.name}>")
+
+    return [BAttr(), DivText(), PEnd()]
+
+
+@given(_fragments)
+@settings(max_examples=300, deadline=None)
+def test_fast_skip_dispatch_is_invisible(html):
+    """Handlers-only passes take the inert fast-skip path for start tags
+    outside the required-tag union (r4). Adding a no-op universal
+    handler disables that path entirely; output AND handler side
+    effects must be byte-identical either way on ANY input."""
+    log_fast, log_slow = [], []
+    fast = Rewriter(
+        sanitizer=None, handlers=_mutating_handlers(log_fast)
+    ).rewrite(html)
+    slow = Rewriter(
+        sanitizer=None,
+        handlers=_mutating_handlers(log_slow) + [_Universal()],
+    ).rewrite(html)
+    assert fast == slow, (html, fast, slow)
+    assert log_fast == log_slow, (html, log_fast, log_slow)
+
+
 def test_orphan_end_tag_flood_is_linear():
     """Adversarial input: a deep open stack followed by a flood of
     UNMATCHED end tags. Each orphan must be rejected O(1) via the
