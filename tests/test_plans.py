@@ -181,3 +181,30 @@ def test_range_join_is_bucketed_hash_join(spark):
     plan = plan_of(df, mode="simple")
     assert "NestedLoop" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kmeans_refined_assign_is_broadcast_argmax(spark):
+    # the final assignment against refined centroids must keep the
+    # ivf_assign shape: centroid side broadcast (tiny, KB-sized), argmax
+    # via partial-aggregating HashAggregate — no window, no sort-merge
+    df = simsearch.kmeans_refined_assign(
+        q.load(spark, SF_DIR, "embeddings"), rounds=1
+    )
+    plan = plan_of(df, mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # KB centroid side broadcast
+    # struct-max argmax compiles to a SortAggregate pair with a
+    # map-side partial_max — one vec_id shuffle total, no window
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_decoded_resize_is_narrow_before_the_udf(spark):
+    # explode + image-class filter are JVM-side and the pandas UDF runs
+    # directly over the scan without any shuffle — the ONLY Exchange in
+    # the whole plan is the final presentation sort
+    df = q.q_decoded_resize(spark, SF_DIR)
+    plan = plan_of(df, mode="simple")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange rangepartitioning" in plan, plan
