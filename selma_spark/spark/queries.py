@@ -1656,6 +1656,58 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word 8-gram
+    with the deterministic held-out slice (doc_id % 97 == 0); benchmark
+    gram table broadcast, corpus side narrow. Demo window n=3 (the
+    synthetic corpus has no natural 8-gram overlap; production uses
+    8-13 — same plan)."""
+    return textops.contamination_check(load(spark, sf_dir, "documents"))
+
+
+ORACLE_CONTAMINATION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, u.g FROM (
+    SELECT doc_id, CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, len(t) - 1),
+           i -> array_to_string(t[i:i+2], ' ')))
+      ELSE [array_to_string(t, ' ')] END AS gs
+    FROM toks) x, UNNEST(gs) AS u(g)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT grams.doc_id, count(*) AS n_hits
+FROM grams JOIN bench USING (g)
+WHERE grams.doc_id % 97 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition signals: top-2gram fraction and distinct
+    token ratio per doc (boilerplate/looped-text filters)."""
+    return textops.repetition_scores(load(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+    CASE WHEN len(t) >= 2
+      THEN list_transform(range(1, len(t)),
+           i -> array_to_string(t[i:i+1], ' '))
+      ELSE [array_to_string(t, ' ')] END AS gs
+  FROM toks),
+pg AS (
+  SELECT doc_id, n_tokens, n_distinct, u.g, count(*) AS c
+  FROM base, UNNEST(gs) AS u(g) GROUP BY 1, 2, 3, 4)
+SELECT doc_id,
+  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_2gram_frac,
+  round(CAST(any_value(n_distinct) AS DOUBLE) / any_value(n_tokens), 4)
+    AS distinct_token_ratio
+FROM pg GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # relational (TPC-H-style tables)
 # --------------------------------------------------------------------------
@@ -1976,6 +2028,9 @@ def build_folded_queries():
         # window top-k on joined revenue; priority_top_orders pins the
         # partitioned-window shape, revenue_by_nation the join chain
         "brand_revenue_topk": q_brand_revenue_topk,
+        # --- r4 additions beyond the driver window (pytest-oracled) ---
+        "contamination_check": q_contamination_check,
+        "repetition_scores": q_repetition_scores,
     }
 
 
@@ -2059,4 +2114,6 @@ def build_folded_oracles():
         "media_manifest": ORACLE_MEDIA_MANIFEST,
         "media_resize_plan": ORACLE_MEDIA_RESIZE,
         "brand_revenue_topk": ORACLE_BRAND_REVENUE_TOPK,
+        "contamination_check": ORACLE_CONTAMINATION,
+        "repetition_scores": ORACLE_REPETITION,
     }

@@ -841,3 +841,79 @@ def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _ngrams(toks, n: int):
+    """Word n-grams via sequence+slice+concat_ws (stays in codegen);
+    docs shorter than n words contribute their whole text as one gram."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def contamination_check(
+    documents: DataFrame, bench_mod: int = 97, n: int = 3
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training documents that share any
+    word n-gram with a held-out benchmark set. Production windows are
+    8-13 words; the demo default is n=3 because the synthetic corpus
+    has almost no natural 8-gram overlap (an 8-gram check would be a
+    vacuously-green oracle; n=3 contaminates ~half the corpus and gives
+    the value check real mass). The benchmark here is the deterministic slice
+    doc_id % bench_mod == 0 (a stand-in for an external eval suite — no
+    external data in this sandbox); its distinct n-gram table is tiny
+    relative to the corpus and is BROADCAST, so the corpus side explodes
+    narrowly and never shuffles on the gram: scan -> explode ->
+    broadcast-hash semi-ish join -> per-doc count. Output one row per
+    CONTAMINATED training doc with its distinct-gram hit count."""
+    toks = tokens_col()
+    grams = documents.select(
+        "doc_id", F.explode(F.array_distinct(_ngrams(toks, n))).alias("g")
+    )
+    bench = (
+        grams.where(F.col("doc_id") % bench_mod == 0)
+        .select("g")
+        .distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % bench_mod != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of all
+    word 2-grams accounted for by the single most frequent 2-gram, and
+    the distinct/total token ratio. High top-gram fraction or low
+    distinct ratio = boilerplate/looped text a corpus filter drops.
+    Shape: explode 2-grams -> (doc, gram) partial-agg count -> per-doc
+    max+sum — two map-side-combinable shuffles, no window."""
+    toks = tokens_col()
+    grams = documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.explode(_ngrams(toks, 2)).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_tokens", "n_distinct", "g").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_gram.groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+        .select(
+            "doc_id",
+            F.round(F.col("top_c") / F.col("total_c"), 4).alias("top_2gram_frac"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "distinct_token_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
