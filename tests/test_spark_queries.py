@@ -85,6 +85,9 @@ def test_driver_catalog_is_exactly_at_cap():
 
     assert len(e.queries()) == DRIVER_CATALOG_CAP
     assert sorted(e.queries()) == sorted(e.oracle_sql())
+    # INSERTION order must match too: the driver walks the first 50
+    # queries() keys, and oracle lookup must agree row-for-row
+    assert list(e.queries()) == list(e.oracle_sql())
     # folded and driver-visible keys never overlap
     from selma_spark.spark import queries as _q
 
