@@ -200,8 +200,18 @@ NEAR_DUP_MAX_HAMMING = 3
 # cap): a band bucket holding this many signatures is an exact-dup
 # mega-cluster, not near-dup territory — stop growing its state
 NEAR_DUP_MAX_BAND_STATE = 100
-NEAR_DUP_STATE_SCHEMA = "doc_ids array<string>, sims array<bigint>"
+NEAR_DUP_STATE_SCHEMA = (
+    "doc_ids array<string>, sims array<bigint>, ttl_ms bigint"
+)
 NEAR_DUP_OUTPUT_SCHEMA = "doc_id string, band_id int, near_dup_of string"
+
+
+# state TTL: a band bucket idle this long is evicted (bounded-state
+# horizon, the stateful-op analogue of dropDuplicatesWithinWatermark's
+# watermark). Module-level so the pickled state fn can read it; the
+# builder overrides it per query via the _ttl_ms closure column instead
+# of mutating globals.
+NEAR_DUP_STATE_TTL_MS = 30 * 60 * 1000
 
 
 def _near_dup_band_fn(key, pdf_iter, state):
@@ -211,17 +221,29 @@ def _near_dup_band_fn(key, pdf_iter, state):
     hamming <= NEAR_DUP_MAX_HAMMING. Arrivals are processed in doc_id
     order so within-batch pairing is deterministic regardless of task
     scheduling. Hamming uses an unsigned-64 mask before bit_count —
-    Python's int.bit_count is sign-magnitude, not two's-complement."""
+    Python's int.bit_count is sign-magnitude, not two's-complement.
+
+    State is DOUBLY bounded: capped at NEAR_DUP_MAX_BAND_STATE
+    signatures per bucket, and evicted wholesale after the bucket has
+    been idle for its TTL (processing-time timeout — each data batch
+    re-arms it). A timed-out invocation sees no input rows and only
+    removes the state."""
     import pandas as pd  # noqa: PLC0415
 
+    band_id = int(key[0])
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(columns=["doc_id", "band_id", "near_dup_of"])
+        return
     if state.exists:
-        doc_ids, sims = state.get
+        doc_ids, sims, ttl_ms = state.get
         doc_ids, sims = list(doc_ids), list(sims)
     else:
-        doc_ids, sims = [], []
-    band_id = int(key[0])
+        doc_ids, sims, ttl_ms = [], [], None
     batch = []
     for pdf in pdf_iter:
+        if ttl_ms is None and "_ttl_ms" in pdf.columns and len(pdf):
+            ttl_ms = int(pdf["_ttl_ms"].iloc[0])
         for doc_id, sim in zip(pdf["doc_id"], pdf["simhash"]):
             batch.append((str(doc_id), int(sim)))
     batch.sort()
@@ -238,13 +260,17 @@ def _near_dup_band_fn(key, pdf_iter, state):
         if len(doc_ids) < NEAR_DUP_MAX_BAND_STATE:
             doc_ids.append(doc_id)
             sims.append(sim)
-    state.update((doc_ids, sims))
+    if ttl_ms is None:
+        ttl_ms = NEAR_DUP_STATE_TTL_MS
+    state.update((doc_ids, sims, int(ttl_ms)))
+    state.setTimeoutDuration(int(ttl_ms))
     yield pd.DataFrame(rows, columns=["doc_id", "band_id", "near_dup_of"])
 
 
 def stream_near_dup_flags(
     spark: SparkSession, input_dir: str, checkpoint_dir: str,
     query_name: str = "near_dup_flags",
+    state_ttl_ms: int | None = None,
 ):
     """Streaming NEAR-duplicate detection (VERDICT r3 #7, beyond the
     exact dedup above): per micro-batch, each document's 64-bit simhash
@@ -256,9 +282,11 @@ def stream_near_dup_flags(
     loses no candidates while keying state by (band_id, band_val) keeps
     each state cell tiny and the shuffle an equi-partition on the band
     key — the same scale shape as the batch simhash_near_dup join.
-    State per cell is capped (saturated cells are exact-dup territory);
-    production would add a watermark/timeout eviction exactly like
-    stream_dedup_documents' dropDuplicatesWithinWatermark horizon.
+    State per cell is DOUBLY bounded: capped signature count (saturated
+    cells are exact-dup territory) AND a processing-time TTL
+    (``state_ttl_ms``, default NEAR_DUP_STATE_TTL_MS) that evicts idle
+    buckets — the stateful-op analogue of
+    dropDuplicatesWithinWatermark's horizon.
     A doc is a near-dup iff ANY of its 4 band rows carries a non-null
     near_dup_of (aggregate downstream). Update-mode in-memory sink."""
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
@@ -272,10 +300,18 @@ def stream_near_dup_flags(
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
-    sh = docs.select("doc_id", F.expr(_SIMHASH64_EXPR).alias("simhash"))
+    sh = docs.select(
+        "doc_id",
+        F.expr(_SIMHASH64_EXPR).alias("simhash"),
+        F.lit(
+            int(state_ttl_ms) if state_ttl_ms is not None
+            else NEAR_DUP_STATE_TTL_MS
+        ).alias("_ttl_ms"),
+    )
     bands = sh.select(
         "doc_id",
         "simhash",
+        "_ttl_ms",
         F.explode(
             F.array(
                 *[
@@ -289,13 +325,13 @@ def stream_near_dup_flags(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    ).select("doc_id", "simhash", "_ttl_ms", "b.band_id", "b.band_val")
     flags = bands.groupBy("band_id", "band_val").applyInPandasWithState(
         _near_dup_band_fn,
         outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
         stateStructType=NEAR_DUP_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
     return (
         flags.writeStream.outputMode("update")

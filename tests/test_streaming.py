@@ -233,6 +233,55 @@ def test_stream_near_dup_flags(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_near_dup_state_ttl_evicts_idle_buckets(spark):
+    """Bounded state, part 2: a band bucket idle past the TTL is
+    evicted (processing-time timeout), so a duplicate arriving AFTER
+    the horizon is NOT flagged — mirroring
+    dropDuplicatesWithinWatermark's bounded-memory contract."""
+    import datetime
+    import pathlib
+
+    from selma_spark.spark.streaming import stream_near_dup_flags
+
+    tmp = tempfile.mkdtemp(prefix="selma_snear_ttl_")
+    try:
+        inp, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+        pathlib.Path(inp).mkdir(parents=True)
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        schema = "doc_id string, text string, ingest_ts timestamp"
+        # three files -> three micro-batches (maxFilesPerTrigger=1)
+        spark.createDataFrame([("a", base, t0)], schema).coalesce(1) \
+            .write.mode("append").parquet(f"{inp}/f1")
+        spark.createDataFrame(
+            [("z", "totally different interleaved filler words here", t0)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(f"{inp}/f2")
+        spark.createDataFrame([("b", base, t0)], schema).coalesce(1) \
+            .write.mode("append").parquet(f"{inp}/f3")
+
+        q = stream_near_dup_flags(
+            spark, f"{inp}/*", ckpt, query_name="snear_ttl_test",
+            state_ttl_ms=1,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        rows = spark.sql(
+            "SELECT doc_id, count(near_dup_of) AS n_hits "
+            "FROM snear_ttl_test GROUP BY 1"
+        ).collect()
+        got = {r["doc_id"]: r["n_hits"] for r in rows}
+        # a's band state was evicted while batch f2 ran (idle > 1ms), so
+        # the byte-identical re-send b is NOT flagged
+        assert got["a"] == 0
+        assert got["b"] == 0, got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_dedup_documents(spark):
     """Duplicate payloads arriving across micro-batches inside the
     watermark horizon are suppressed; distinct payloads all land."""
