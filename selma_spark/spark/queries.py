@@ -1682,6 +1682,21 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-language corpus length profile: exact p50/p90/p99 (DuckDB
+    quantile_cont twin; percentile_approx is the 100TB variant)."""
+    return textops.length_quantiles(load(spark, sf_dir, "documents"))
+
+
+ORACLE_LENGTH_QUANTILES = """
+SELECT lang, count(*) AS n_docs,
+  round(quantile_cont(length(text), 0.5), 4) AS p50,
+  round(quantile_cont(length(text), 0.9), 4) AS p90,
+  round(quantile_cont(length(text), 0.99), 4) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition signals: top-2gram fraction and distinct
     token ratio per doc (boilerplate/looped-text filters)."""
@@ -2031,6 +2046,7 @@ def build_folded_queries():
         # --- r4 additions beyond the driver window (pytest-oracled) ---
         "contamination_check": q_contamination_check,
         "repetition_scores": q_repetition_scores,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -2116,4 +2132,5 @@ def build_folded_oracles():
         "brand_revenue_topk": ORACLE_BRAND_REVENUE_TOPK,
         "contamination_check": ORACLE_CONTAMINATION,
         "repetition_scores": ORACLE_REPETITION,
+        "length_quantiles": ORACLE_LENGTH_QUANTILES,
     }

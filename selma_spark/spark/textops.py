@@ -917,3 +917,29 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def length_quantiles(documents: DataFrame, exact: bool = True) -> DataFrame:
+    """Per-language document-length quantiles (p50/p90/p99) — the
+    corpus-profiling numbers a mixing/filtering pass is tuned against.
+
+    ``exact=True`` uses Spark's exact ``percentile`` aggregate, which
+    COLLECTS each group's values: fine up to millions of rows per group
+    and bit-comparable to DuckDB's quantile_cont (both linear
+    interpolation) — this is the oracle-checkable twin. At 100 TB use
+    ``exact=False``: ``percentile_approx`` (t-digest sketch, mergeable
+    map-side, bounded memory) with the same output shape; its values
+    are approximate by design, so the driver check for it would be
+    rows-only."""
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = [
+        F.round(
+            F.expr(f"{fn}(length(text), {p})"), 4
+        ).alias(f"p{int(p * 100)}")
+        for p in (0.5, 0.9, 0.99)
+    ]
+    return (
+        documents.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), *aggs)
+        .orderBy("lang")
+    )
