@@ -263,8 +263,12 @@ def main():
                 ("rewrite", None, reference_bench_handlers),
             ):
                 out = rewrite_documents(docs, cfg, handlers_factory=hf)
-                # min-of-2 like every other row: single samples swing
-                # up to 4x with this host's throttle phases
+                # min-of-N: single samples swing up to 4x with this
+                # host's throttle phases. The lg rows are 12-25s jobs —
+                # the most phase-sensitive in the suite (one dedicated
+                # min-of-4 run saw samples span 11.8-22.5s) — so they
+                # get an extra rep
+                reps = 3 if key == "lg" else 2
                 dt = min(
                     _timed(lambda o=out: o.select(
                         F.sum(F.aggregate(
@@ -272,7 +276,7 @@ def main():
                             lambda acc, s: acc
                             + F.coalesce(F.length(s["text"]), F.lit(0)),
                         ))).collect())[0]
-                    for _ in range(2)
+                    for _ in range(reps)
                 )
                 fixtures[f"{mode}_{key}"] = {
                     "docs_per_sec": round(n_copies / dt, 1),
