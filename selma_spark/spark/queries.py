@@ -1529,18 +1529,19 @@ def q_kmeans_refined_assign(spark, sf_dir):
     return simsearch.kmeans_refined_assign(load(spark, sf_dir, "embeddings"))
 
 
-def _kmeans_refined_oracle(rounds: int | None = None) -> str:
-    """Unrolled Lloyd refinement in SQL: round r = argmax-cosine
-    assignment against c{r-1} + 6-decimal mean recompute into c{r},
-    mirroring simsearch.kmeans_refine's rounding discipline exactly
-    (cosine rounded to 9 BEFORE the argmax, centroid components to 6)."""
-    if rounds is None:
-        rounds = simsearch.KMEANS_ROUNDS
-    cos = (
-        "round(list_dot_product(emb, cemb)"
-        " / (sqrt(list_dot_product(emb, emb))"
-        " * sqrt(list_dot_product(cemb, cemb))), 9)"
-    )
+_KMEANS_COS9 = (
+    "round(list_dot_product(emb, cemb)"
+    " / (sqrt(list_dot_product(emb, emb))"
+    " * sqrt(list_dot_product(cemb, cemb))), 9)"
+)
+
+
+def _kmeans_cte_prefix(rounds: int) -> str:
+    """Unrolled Lloyd refinement as a WITH-prefix: round r = argmax-
+    cosine assignment against c{r-1} + 6-decimal mean recompute into
+    c{r}, mirroring simsearch.kmeans_refine's rounding discipline
+    exactly (cosine rounded to 9 BEFORE the argmax, centroid components
+    to 6). Leaves c{rounds} as the refined centroid table."""
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
         " FROM embeddings),\n"
@@ -1552,7 +1553,7 @@ a{r + 1} AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {cos} DESC, c.cid) AS rn
+                              ORDER BY {_KMEANS_COS9} DESC, c.cid) AS rn
     FROM e, c{r} c) WHERE rn = 1),
 c{r + 1} AS (
   SELECT cid, list(c ORDER BY dimn) AS cemb FROM (
@@ -1560,13 +1561,51 @@ c{r + 1} AS (
     FROM a{r + 1} a JOIN e ON e.vec_id = a.vec_id,
          UNNEST(range(0, 64)) AS u(d)
     GROUP BY 1, 2) GROUP BY cid)""")
-    parts.append(f"""
-SELECT vec_id, cid, round({cos}, 4) AS cosine FROM (
+    return "".join(parts)
+
+
+def _kmeans_refined_oracle(rounds: int | None = None) -> str:
+    if rounds is None:
+        rounds = simsearch.KMEANS_ROUNDS
+    return f"""{_kmeans_cte_prefix(rounds)}
+SELECT vec_id, cid, round({_KMEANS_COS9}, 4) AS cosine FROM (
   SELECT e.vec_id, c.cid, e.emb, c.cemb,
          row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY {cos} DESC, c.cid) AS rn
-  FROM e, c{rounds} c) WHERE rn = 1 ORDER BY vec_id""")
-    return "".join(parts)
+                            ORDER BY {_KMEANS_COS9} DESC, c.cid) AS rn
+  FROM e, c{rounds} c) WHERE rn = 1 ORDER BY vec_id"""
+
+
+def q_embedding_topk_ivf_refined(spark, sf_dir):
+    """IVF ANN top-k probing the Lloyd-refined quantizer (nprobe=4;
+    refined index quality, identical plan shape to embedding_topk_ivf)."""
+    return simsearch.topk_cosine_ivf_refined(load(spark, sf_dir, "embeddings"))
+
+
+def _ivf_refined_topk_oracle(rounds: int | None = None) -> str:
+    if rounds is None:
+        rounds = simsearch.KMEANS_ROUNDS
+    return f"""{_kmeans_cte_prefix(rounds)},
+scoredN AS (
+  SELECT e.vec_id, c.cid, e.emb, {_KMEANS_COS9} AS cos
+  FROM e, c{rounds} c),
+bestN AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid) AS rn
+    FROM scoredN) WHERE rn = 1),
+probe AS (
+  SELECT cid FROM scoredN WHERE vec_id = 0 ORDER BY cos DESC, cid LIMIT 4),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
+SELECT b.vec_id,
+  round(list_dot_product(e.emb, q.qemb)
+        / (sqrt(list_dot_product(e.emb, e.emb))
+           * sqrt(list_dot_product(q.qemb, q.qemb))), 4) AS cosine
+FROM bestN b
+JOIN probe p ON b.cid = p.cid
+JOIN e ON e.vec_id = b.vec_id, q
+WHERE b.vec_id <> 0
+ORDER BY cosine DESC, b.vec_id LIMIT 10"""
 
 
 def q_pq_codes(spark, sf_dir):
@@ -2047,6 +2086,7 @@ def build_folded_queries():
         "contamination_check": q_contamination_check,
         "repetition_scores": q_repetition_scores,
         "length_quantiles": q_length_quantiles,
+        "embedding_topk_ivf_refined": q_embedding_topk_ivf_refined,
     }
 
 
@@ -2133,4 +2173,5 @@ def build_folded_oracles():
         "contamination_check": ORACLE_CONTAMINATION,
         "repetition_scores": ORACLE_REPETITION,
         "length_quantiles": ORACLE_LENGTH_QUANTILES,
+        "embedding_topk_ivf_refined": _ivf_refined_topk_oracle(),
     }
