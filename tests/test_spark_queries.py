@@ -181,3 +181,29 @@ def test_simhash64_band_space_survives_bench_scale(spark):
         sh.select("doc_id").exceptAll(kept.select("doc_id").distinct()).count()
     )
     assert orphaned == 0, f"{orphaned} docs lost every band row to the cap"
+
+
+def test_lloyd_refinement_improves_quantizer_balance(spark):
+    """The point of kmeans_refine (VERDICT r3 #2): a refined quantizer
+    should spread vectors across cells at least as evenly as the raw
+    seed sample — cell skew is what degrades IVF probe recall and
+    parallelism at corpus scale. Deterministic inputs + deterministic
+    algorithm, so the comparison is stable, not flaky."""
+    import statistics
+
+    from selma_spark.spark import queries as q
+    from selma_spark.spark import simsearch
+
+    emb = q.load(spark, SF_DIR, "embeddings")
+    seed = [
+        r["count"]
+        for r in simsearch.ivf_assign(emb).groupBy("cid").count().collect()
+    ]
+    refined = [
+        r["count"]
+        for r in simsearch.kmeans_refined_assign(emb)
+        .groupBy("cid").count().collect()
+    ]
+    assert len(seed) == len(refined) == 16
+    assert statistics.pstdev(refined) < statistics.pstdev(seed)
+    assert min(refined) >= min(seed)
