@@ -185,7 +185,7 @@ def _mutating_handlers(log):
             pass
 
         def on_end_tag(self, end):
-            log.append(f"</{end.name}>")
+            log.append(f"</{end.tag_name}>")
 
     return [BAttr(), DivText(), PEnd()]
 
