@@ -81,3 +81,36 @@ def test_truncated_pixel_array_raises_value_error():
     full = _make_bmp(4, 4, [[(1, 2, 3)] * 4] * 4)
     with pytest.raises(ValueError):
         decode_media_bytes(full[:-5])
+
+
+def test_kmeans_refine_rejects_zero_rounds():
+    import pytest
+
+    from selma_spark.spark.simsearch import kmeans_refine
+
+    with pytest.raises(ValueError):
+        kmeans_refine(None, rounds=0)
+
+
+def test_decoded_resize_never_upscales_small_images():
+    """Aspect-fit semantics: images already inside the box keep their
+    native dims (no upscale), larger ones shrink with ratio preserved
+    within integer truncation."""
+    import hashlib
+
+    from selma_spark.spark.multimodal import _HEX, decode_media_bytes, synth_bmp
+
+    for i in range(64):
+        ref = f"media://{i * 4}/1"
+        w, h, _ = decode_media_bytes(synth_bmp(ref))
+        hx = hashlib.md5(ref.encode()).hexdigest()
+        assert (w, h) == (4 + _HEX.index(hx[0]), 4 + _HEX.index(hx[1]))
+        m = max(w, h)
+        if m <= 8:
+            nw, nh = w, h
+        else:
+            nw, nh = w * 8 // m, h * 8 // m
+        assert 1 <= nw <= 8 and 1 <= nh <= 8 or m <= 8
+        # ratio preserved within integer truncation
+        if m > 8:
+            assert abs(nw * h - nh * w) <= max(w, h)
