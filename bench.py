@@ -69,7 +69,7 @@ def _timed(fn, *args):
     return time.perf_counter() - t0, res
 
 
-def run_at(cpus: int, sf_dir: str, reps: int = 1):
+def run_at(cpus: int, sf_dir: str, reps: int = 1, samples: list | None = None):
     # 16384-row arrow batches: the bench docs average ~600B (1% skew at
     # ~28KB), so a batch is ~10-15MB — large enough that per-batch
     # framing/schema overhead amortizes (+~10% vs 2048 measured),
@@ -81,6 +81,8 @@ def run_at(cpus: int, sf_dir: str, reps: int = 1):
     row = None
     for _ in range(reps):
         dt, row = _timed(_flagship_count, spark, sf_dir)
+        if samples is not None:
+            samples.append(dt)
         if best_dt is None or dt < best_dt:
             best_dt = dt
     spark.stop()
@@ -90,9 +92,18 @@ def run_at(cpus: int, sf_dir: str, reps: int = 1):
 def main():
     queries_t = {}
 
-    # min-of-2 on the headline too: single samples on this VM jitter
-    # +-2x with host throttle phases
-    dt_big, n_docs, n_chars = run_at(CPUS, SF_DIR, reps=2)
+    # Headline estimator (VERDICT r4 #1): this VM throttles in
+    # MULTI-MINUTE phases, so min-of-2 back-to-back reps can still land
+    # entirely inside one slow phase (that's how BENCH_r04 recorded a
+    # 44.5k headline on a 70-90k engine). The fix is the same interleaved
+    # min-per-level estimator the fixture rows use: sample the flagship
+    # EARLY here, then again in a fresh session at the END of the whole
+    # bench (~6-8 min later — beyond a phase width), and record the min
+    # across all samples. All samples are reported for transparency.
+    flagship_samples: list[float] = []
+    dt_big, n_docs, n_chars = run_at(
+        CPUS, SF_DIR, reps=2, samples=flagship_samples
+    )
     docs_per_sec = n_docs / dt_big
     queries_t["flagship_rewrite"] = round(dt_big, 3)
 
@@ -196,15 +207,22 @@ def main():
             return n, best
 
         base_reps = int(os.environ.get("SELMA_BENCH_SCALING_REPS", "2"))
+        # SANDWICH the short 4-exec leg around the long 1-exec leg
+        # (VERDICT r4 #2): the 4-exec job is the phase-sensitive one
+        # (~25s vs ~100s+), so sample it in two sessions separated by
+        # the 1-exec run's multi-minute wall and take the min — at least
+        # one leg lands outside a throttle phase.
+        _, lc_dt4_a = run_cluster(4, base_reps)
         lc_docs, lc_dt1 = run_cluster(1, base_reps)
-        # the big run is short -> cheap extra rep for noise robustness
-        _, lc_dt4 = run_cluster(4, base_reps + 1)
+        _, lc_dt4_b = run_cluster(4, base_reps)
+        lc_dt4 = min(lc_dt4_a, lc_dt4_b)
         multi_exec = {
             "executors_small": 1,
             "executors_big": 4,
             "docs": lc_docs,
             "secs_small": round(lc_dt1, 3),
             "secs_big": round(lc_dt4, 3),
+            "secs_big_legs": [round(lc_dt4_a, 3), round(lc_dt4_b, 3)],
             "docs_per_sec_big": round(lc_docs / lc_dt4, 1),
             "speedup": round(lc_dt1 / lc_dt4, 3),
             "efficiency": round(lc_dt1 / lc_dt4 / 4, 3),
@@ -311,6 +329,15 @@ def main():
         queries_t[name] = round(dt, 3)
     spark.stop()
 
+    # late flagship leg: a fresh session minutes after the early one —
+    # the two legs straddle throttle phases, so the min-per-level
+    # estimator sees at least one unthrottled sample (VERDICT r4 #1)
+    if os.environ.get("SELMA_BENCH_LATE_LEG", "1") != "0":
+        run_at(CPUS, SF_DIR, reps=2, samples=flagship_samples)
+    dt_big = min(flagship_samples)
+    docs_per_sec = n_docs / dt_big
+    queries_t["flagship_rewrite"] = round(dt_big, 3)
+
     result = {
         "metric": "docs_per_sec_rewrite",
         "value": round(docs_per_sec, 2),
@@ -320,6 +347,7 @@ def main():
         "docs": n_docs,
         "bytes_out": n_chars,
         "mb_per_sec": round(n_chars / dt_big / 1e6, 2),
+        "flagship_samples": [round(s, 3) for s in flagship_samples],
     }
     if scaling is not None:
         result["scaling"] = scaling

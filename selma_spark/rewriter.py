@@ -33,6 +33,8 @@ from __future__ import annotations
 import gc
 import re
 
+import threading
+
 from . import tokenizer as tk
 from .sanitizer import (
     DEFAULT,
@@ -43,6 +45,13 @@ from .sanitizer import (
 )
 from .selector import Selector
 from .tags import ESCAPEWORTHY_TAGS, TEXT_TYPE_CDATA, VOID_TAGS
+
+# Cross-thread GC-pause bookkeeping for Rewriter.rewrite (see its body):
+# depth counts in-flight rewrite() calls across ALL threads; GC re-enables
+# only when the last one exits.
+_GC_PAUSE_LOCK = threading.Lock()
+_GC_PAUSE_DEPTH = 0
+_GC_PAUSE_REENABLE = False
 
 _MISSING = object()
 
@@ -518,11 +527,20 @@ class Rewriter:
         # cost ~40% of tokenize time (measured 4.3 -> 7.0 MB/s on a
         # 7.2MB doc). All per-call allocations die at return, so cyclic
         # garbage (if handler code makes any) is reclaimed at the next
-        # natural collection once re-enabled. Reentrancy-safe: a nested
-        # rewrite sees gc already off and leaves it off.
-        was_enabled = gc.isenabled()
-        if was_enabled:
-            gc.disable()
+        # natural collection once re-enabled. A module-level depth
+        # counter (under a lock) makes this safe for BOTH nested and
+        # concurrent rewrite() calls: GC re-enables only when the
+        # outermost call across all threads exits, so a fast caller on
+        # one thread can't re-enable GC mid-tokenize on another
+        # (ADVICE r4 #2). The counter is reentrancy-exact: finally
+        # always decrements, so a handler exception can't wedge GC off.
+        with _GC_PAUSE_LOCK:
+            global _GC_PAUSE_DEPTH, _GC_PAUSE_REENABLE
+            if _GC_PAUSE_DEPTH == 0:
+                _GC_PAUSE_REENABLE = gc.isenabled()
+                if _GC_PAUSE_REENABLE:
+                    gc.disable()
+            _GC_PAUSE_DEPTH += 1
         try:
             if self.handlers or self.sanitizer is None:
                 out = _run_pass(html, self.sanitizer, self.handlers)
@@ -533,8 +551,10 @@ class Rewriter:
             ):
                 out = _final_pass(out, self.sanitizer)
         finally:
-            if was_enabled:
-                gc.enable()
+            with _GC_PAUSE_LOCK:
+                _GC_PAUSE_DEPTH -= 1
+                if _GC_PAUSE_DEPTH == 0 and _GC_PAUSE_REENABLE:
+                    gc.enable()
         return out
 
 
@@ -1092,6 +1112,15 @@ def _run_pass(html, sanitizer, handlers) -> str:
                 and html.startswith("]]>", tok.end - 3, tok.end)
             ):
                 content = html[tok.start + 9 : tok.end - 3]
+                if not content:
+                    # Empty <![CDATA[]]> is still character data in
+                    # foreign content — emit the shell verbatim rather
+                    # than falling through to comment removal (a
+                    # sanitizer with allow_comments=False would delete
+                    # it while preserving non-empty CDATA; ADVICE r4 #3).
+                    if suppress == 0:
+                        keep(tok.start, tok.end)
+                    continue
                 if content:
                     chunk = TextChunk(content, TEXT_TYPE_CDATA)
                     dispatched = False

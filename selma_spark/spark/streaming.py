@@ -247,6 +247,7 @@ def _near_dup_band_fn(key, pdf_iter, state):
         for doc_id, sim in zip(pdf["doc_id"], pdf["simhash"]):
             batch.append((str(doc_id), int(sim)))
     batch.sort()
+    seen = set(doc_ids)  # O(1) replay check alongside the ordered lists
     rows = []
     for doc_id, sim in batch:
         match = None
@@ -257,9 +258,13 @@ def _near_dup_band_fn(key, pdf_iter, state):
                     <= NEAR_DUP_MAX_HAMMING and (match is None or od < match):
                 match = od
         rows.append((doc_id, band_id, match))
-        if len(doc_ids) < NEAR_DUP_MAX_BAND_STATE:
+        # A re-sent/replayed doc_id must not burn a cap slot — duplicate
+        # entries would evict room for genuinely distinct signatures in
+        # hot buckets (ADVICE r4 #1).
+        if doc_id not in seen and len(doc_ids) < NEAR_DUP_MAX_BAND_STATE:
             doc_ids.append(doc_id)
             sims.append(sim)
+            seen.add(doc_id)
     if ttl_ms is None:
         ttl_ms = NEAR_DUP_STATE_TTL_MS
     state.update((doc_ids, sims, int(ttl_ms)))

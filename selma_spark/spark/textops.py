@@ -404,10 +404,17 @@ def lang_id_trigram(documents: DataFrame, profile_k: int = 64) -> DataFrame:
         .where(F.col("_rk") <= profile_k)
         .select("lang", "tg")
     )
-    doc_tri = documents.select(
-        "doc_id",
-        F.explode(_char_trigrams()).alias("tg"),
-        F.size(_char_trigrams()).alias("_n_tg"),
+    # Name the trigram array ONCE so Catalyst projects it a single time
+    # before the explode — two _char_trigrams() calls in one select are a
+    # second corpus-wide trigram build if CSE doesn't fire across the
+    # generator (VERDICT r4 nit #3).
+    doc_tri = (
+        documents.select("doc_id", _char_trigrams().alias("_tgs"))
+        .select(
+            "doc_id",
+            F.explode("_tgs").alias("tg"),
+            F.size("_tgs").alias("_n_tg"),
+        )
     )
     # overlap count per (doc, lang); score = hits / n_doc_trigrams,
     # rounded so cross-engine double division can't flip a near-tie

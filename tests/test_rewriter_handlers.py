@@ -422,6 +422,60 @@ def test_cdata_empty_is_suppressed_like_empty_text():
     assert "cdata_section" not in seen  # empty-chunk suppression
 
 
+def test_cdata_empty_survives_comment_stripping_sanitizer():
+    """Empty <![CDATA[]]> in foreign content is character data, not a
+    comment: a sanitizer with allow_comments=False must preserve it just
+    like the non-empty case (ADVICE r4 #3 — empty shells previously fell
+    through to the comment-removal branch)."""
+    from selma_spark.sanitizer import Sanitizer
+
+    san = Sanitizer({
+        "elements": ["svg"],
+        "allow_comments": False,
+        "escape_tagfilter": False,
+    })
+    h = H(Selector(match_text_within="svg"),
+          text=lambda s, t: None)
+    empty = Rewriter(sanitizer=san, handlers=[h]).rewrite(
+        "<svg><![CDATA[]]></svg>")
+    nonempty = Rewriter(sanitizer=san, handlers=[h]).rewrite(
+        "<svg><![CDATA[x]]></svg>")
+    assert empty == "<svg><![CDATA[]]></svg>"
+    assert nonempty == "<svg><![CDATA[x]]></svg>"
+
+
+def test_concurrent_rewrites_keep_gc_paused_until_last_exit():
+    """ADVICE r4 #2: GC must stay disabled while ANY rewrite() is
+    in-flight across threads, and re-enable when the last exits."""
+    import gc
+    import threading
+
+    assert gc.isenabled()
+    states = []
+    barrier = threading.Barrier(4)
+
+    class Probe:
+        def selector(self):
+            return Selector(match_element="b")
+
+        def handle_element(self, el):
+            barrier.wait(timeout=10)  # all 4 calls mid-rewrite at once
+            states.append(gc.isenabled())
+            barrier.wait(timeout=10)
+
+    ts = [
+        threading.Thread(
+            target=lambda: Rewriter(handlers=[Probe()]).rewrite("<b>x</b>"))
+        for _ in range(4)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert states == [False, False, False, False]
+    assert gc.isenabled()
+
+
 def test_missing_handle_text_chunk_raises():
     h = H(Selector(match_text_within="strong"))
     with pytest.raises(RuntimeError):
