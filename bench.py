@@ -89,6 +89,127 @@ def run_at(cpus: int, sf_dir: str, reps: int = 1, samples: list | None = None):
     return best_dt, int(row["docs"]), int(row["chars"])
 
 
+SOAK_REPLICATE = int(os.environ.get("SELMA_BENCH_SOAK_REPLICATE", "64"))
+
+
+def _soak_documents(docs, replicate: int, n_parts: int):
+    """Token-salted corpus scale-up for the dedup soak: doc_id' =
+    doc_id*replicate + rep; every token of replica rep > 0 gets a
+    '\\x01rep' suffix, so shingle sets and simhash signatures decorrelate
+    across replica families while each family mirrors the original
+    corpus's near-dup graph exactly."""
+    if replicate <= 1:
+        return docs.select("doc_id", "text").repartition(n_parts)
+    reps = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("_rep")
+    d = docs.select("doc_id", "text", reps)
+    salt = F.concat(F.lit("\x01"), F.col("_rep").cast("string"))
+    salted = F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "), lambda t: F.concat(t, salt)
+            ),
+        )
+    )
+    return d.select(
+        (F.col("doc_id") * replicate + F.col("_rep")).alias("doc_id"),
+        salted.alias("text"),
+    ).repartition(n_parts)
+
+
+def _soak_embeddings(emb, replicate: int, n_parts: int):
+    """vec_id-remapped embedding scale-up (vectors reused verbatim: the
+    assignment/refinement cost scales with ROWS; centroid geometry is
+    deliberately unchanged so the balance contract stays comparable)."""
+    if replicate <= 1:
+        return emb.repartition(n_parts)
+    reps = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("_rep")
+    return (
+        emb.select("vec_id", "embedding", "label", reps)
+        .select(
+            (F.col("vec_id") * replicate + F.col("_rep")).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .repartition(n_parts)
+    )
+
+
+def run_scale_soak():
+    """3-point scaling curve for the heavy dedup/ANN chains; returns the
+    JSON block recorded as BENCH's scale_soak section."""
+    from selma_spark.spark import simsearch, textops
+
+    spark = get_spark(cpus=CPUS, app_name="selma-bench-soak")
+    points = []
+    emb_replicate = max(1, SOAK_REPLICATE)
+    for label, sf_dir, replicate in (
+        ("sf0.01", "/root/testdata/sf0.01", 1),
+        ("sf0.1", SF_DIR, 1),
+        (f"sf0.1x{SOAK_REPLICATE}", SF_DIR, SOAK_REPLICATE),
+    ):
+        docs = _soak_documents(
+            q.load(spark, sf_dir, "documents"), replicate, 4 * CPUS
+        ).localCheckpoint()  # materialize once; lineage-free input for
+        # every op below (released with driver GC, not session-pinned)
+        n_docs = docs.count()
+        point = {"point": label, "docs": n_docs}
+
+        dt, verified = _timed(
+            lambda d=docs: textops.near_dup_verified(d).count()
+        )
+        # selectivity counters: candidates from the SAME banding scheme
+        cand = textops.near_dup_pairs(docs, ordered=False).count()
+        point["near_dup_verified"] = {
+            "secs": round(dt, 2),
+            "candidates": cand,
+            "verified": verified,
+            "selectivity": round(verified / cand, 4) if cand else None,
+        }
+
+        dt, pairs = _timed(
+            lambda d=docs: textops.simhash_near_dup(d).count()
+        )
+        # band-cap survival: how many (band_id, band_val) buckets the
+        # cap drops at this scale
+        bands = textops.simhash_bands(
+            textops.simhash64(docs).select("doc_id", "simhash")
+        )
+        occ = bands.groupBy("band_id", "band_val").count()
+        dropped = occ.where(F.col("count") > 100).count()
+        total_buckets = occ.count()
+        point["simhash_near_dup"] = {
+            "secs": round(dt, 2),
+            "pairs": pairs,
+            "buckets": total_buckets,
+            "cap_dropped_buckets": dropped,
+        }
+
+        dt, clusters = _timed(
+            lambda d=docs: textops.near_dup_clusters(d)
+            .agg(F.countDistinct("cluster_id")).collect()[0][0]
+        )
+        point["near_dup_clusters"] = {"secs": round(dt, 2),
+                                      "clusters": int(clusters or 0)}
+
+        emb = _soak_embeddings(
+            q.load(spark, sf_dir, "embeddings"),
+            replicate if replicate > 1 else 1,
+            4 * CPUS,
+        ).localCheckpoint()
+        n_vecs = emb.count()
+        dt, assigned = _timed(
+            lambda e=emb: simsearch.kmeans_refined_assign(e).count()
+        )
+        point["kmeans_refined_assign"] = {
+            "secs": round(dt, 2), "vectors": n_vecs, "assigned": assigned,
+        }
+        points.append(point)
+        print(f"# soak {label}: {point}", file=sys.stderr)
+    spark.stop()
+    return {"replicate": SOAK_REPLICATE, "points": points}
+
+
 def main():
     queries_t = {}
 
@@ -329,6 +450,21 @@ def main():
         queries_t[name] = round(dt, 3)
     spark.stop()
 
+    # scale soak (VERDICT r4 #3): the near-dup/ANN chains' scale claims
+    # (band-cap survival, prefilter selectivity, cluster convergence,
+    # refined-quantizer assignment) evidenced on a 3-point curve:
+    # sf0.01 (500 docs) -> sf0.1 (5k) -> sf0.1 x SOAK_REPLICATE (320k
+    # docs / 128k vectors at the default x64). Replicas are TOKEN-salted
+    # (every token gets a per-replica suffix), so each replica family
+    # reproduces the ORIGINAL corpus's near-dup structure while
+    # cross-family Jaccard/simhash similarity collapses — candidate and
+    # pair counts scale ~linearly with the corpus, which is exactly the
+    # regime a 100-TB run lives in (NOT a degenerate x64 exact-dup
+    # blowup that the caps would simply drop).
+    soak = None
+    if os.environ.get("SELMA_BENCH_SOAK", "0") == "1":
+        soak = run_scale_soak()
+
     # late flagship leg: a fresh session minutes after the early one —
     # the two legs straddle throttle phases, so the min-per-level
     # estimator sees at least one unthrottled sample (VERDICT r4 #1)
@@ -351,6 +487,8 @@ def main():
     }
     if scaling is not None:
         result["scaling"] = scaling
+    if soak is not None:
+        result["scale_soak"] = soak
     if multi_exec is not None:
         result["multi_executor"] = multi_exec
     if fixtures:

@@ -203,6 +203,12 @@ NEAR_DUP_MAX_BAND_STATE = 100
 NEAR_DUP_STATE_SCHEMA = (
     "doc_ids array<string>, sims array<bigint>, ttl_ms bigint"
 )
+# event-time variant adds the bucket's last-seen EVENT time so arrivals
+# can prune a bucket whose horizon passed without an intervening batch
+NEAR_DUP_EVENT_STATE_SCHEMA = (
+    "doc_ids array<string>, sims array<bigint>, ttl_ms bigint, "
+    "last_ts_ms bigint"
+)
 NEAR_DUP_OUTPUT_SCHEMA = "doc_id string, band_id int, near_dup_of string"
 
 
@@ -247,6 +253,20 @@ def _near_dup_band_fn(key, pdf_iter, state):
         for doc_id, sim in zip(pdf["doc_id"], pdf["simhash"]):
             batch.append((str(doc_id), int(sim)))
     batch.sort()
+    rows = _match_and_absorb(batch, doc_ids, sims, band_id)
+    if ttl_ms is None:
+        ttl_ms = NEAR_DUP_STATE_TTL_MS
+    state.update((doc_ids, sims, int(ttl_ms)))
+    state.setTimeoutDuration(int(ttl_ms))
+    yield pd.DataFrame(rows, columns=["doc_id", "band_id", "near_dup_of"])
+
+
+def _match_and_absorb(batch, doc_ids, sims, band_id):
+    """Shared matcher for both eviction modes: flag each arrival against
+    the bucket's stored signatures AND earlier same-batch arrivals,
+    absorbing new signatures in-place up to the cap. A re-sent/replayed
+    doc_id must not burn a cap slot — duplicate entries would evict room
+    for genuinely distinct signatures in hot buckets (ADVICE r4 #1)."""
     seen = set(doc_ids)  # O(1) replay check alongside the ordered lists
     rows = []
     for doc_id, sim in batch:
@@ -258,17 +278,68 @@ def _near_dup_band_fn(key, pdf_iter, state):
                     <= NEAR_DUP_MAX_HAMMING and (match is None or od < match):
                 match = od
         rows.append((doc_id, band_id, match))
-        # A re-sent/replayed doc_id must not burn a cap slot — duplicate
-        # entries would evict room for genuinely distinct signatures in
-        # hot buckets (ADVICE r4 #1).
         if doc_id not in seen and len(doc_ids) < NEAR_DUP_MAX_BAND_STATE:
             doc_ids.append(doc_id)
             sims.append(sim)
             seen.add(doc_id)
+    return rows
+
+
+def _near_dup_band_fn_event(key, pdf_iter, state):
+    """EVENT-time twin of _near_dup_band_fn (VERDICT r4 #6): the bucket
+    horizon is measured in the data's own ``ingest_ts``, like
+    stream_dedup_documents' watermark, not in wall-clock. Eviction is
+    double-pathed and fully deterministic:
+
+    1. timer path — the timeout TIMESTAMP is (last event ts + ttl); when
+       the stream's watermark passes it with no new data for the bucket,
+       the timed-out invocation removes the state wholesale;
+    2. arrival path — a batch whose EARLIEST event time is beyond
+       (last_ts + ttl) clears the inherited signatures before matching,
+       because Spark does not fire a group's timer in a batch where that
+       group also has data: without this check a late re-send arriving
+       exactly when the timer should have fired would still match
+       horizon-expired state.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    band_id = int(key[0])
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(columns=["doc_id", "band_id", "near_dup_of"])
+        return
+    if state.exists:
+        doc_ids, sims, ttl_ms, last_ts_ms = state.get
+        doc_ids, sims = list(doc_ids), list(sims)
+    else:
+        doc_ids, sims, ttl_ms, last_ts_ms = [], [], None, None
+    batch = []
+    batch_min_ts = batch_max_ts = None
+    for pdf in pdf_iter:
+        if ttl_ms is None and "_ttl_ms" in pdf.columns and len(pdf):
+            ttl_ms = int(pdf["_ttl_ms"].iloc[0])
+        for doc_id, sim, ts in zip(
+            pdf["doc_id"], pdf["simhash"], pdf["ingest_ts"]
+        ):
+            ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
+            batch.append((str(doc_id), int(sim)))
+            if batch_min_ts is None or ts_ms < batch_min_ts:
+                batch_min_ts = ts_ms
+            if batch_max_ts is None or ts_ms > batch_max_ts:
+                batch_max_ts = ts_ms
     if ttl_ms is None:
         ttl_ms = NEAR_DUP_STATE_TTL_MS
-    state.update((doc_ids, sims, int(ttl_ms)))
-    state.setTimeoutDuration(int(ttl_ms))
+    if (
+        last_ts_ms is not None
+        and batch_min_ts is not None
+        and batch_min_ts - int(last_ts_ms) > int(ttl_ms)
+    ):
+        doc_ids, sims = [], []  # horizon passed: expire inherited state
+    batch.sort()
+    rows = _match_and_absorb(batch, doc_ids, sims, band_id)
+    new_last = max(int(last_ts_ms or 0), int(batch_max_ts or 0))
+    state.update((doc_ids, sims, int(ttl_ms), new_last))
+    state.setTimeoutTimestamp(new_last + int(ttl_ms))
     yield pd.DataFrame(rows, columns=["doc_id", "band_id", "near_dup_of"])
 
 
@@ -276,6 +347,7 @@ def stream_near_dup_flags(
     spark: SparkSession, input_dir: str, checkpoint_dir: str,
     query_name: str = "near_dup_flags",
     state_ttl_ms: int | None = None,
+    eviction: str = "processing",
 ):
     """Streaming NEAR-duplicate detection (VERDICT r3 #7, beyond the
     exact dedup above): per micro-batch, each document's 64-bit simhash
@@ -292,6 +364,14 @@ def stream_near_dup_flags(
     (``state_ttl_ms``, default NEAR_DUP_STATE_TTL_MS) that evicts idle
     buckets — the stateful-op analogue of
     dropDuplicatesWithinWatermark's horizon.
+
+    ``eviction`` picks the horizon clock (VERDICT r4 #6): "processing"
+    (default) evicts on wall-clock idleness; "event" measures the
+    horizon in the data's own ingest_ts — a watermark-bounded
+    EventTimeTimeout like stream_dedup_documents, deterministic under
+    replay/backfill where wall-clock TTLs are not (a backfill that
+    pauses 31 wall-minutes mid-stream would spuriously evict every
+    bucket in processing mode).
     A doc is a near-dup iff ANY of its 4 band rows carries a non-null
     near_dup_of (aggregate downstream). Update-mode in-memory sink."""
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
@@ -299,24 +379,33 @@ def stream_near_dup_flags(
     from .shipping import ensure_shipped  # noqa: PLC0415
     from .textops import _SIMHASH64_EXPR  # noqa: PLC0415
 
+    if eviction not in ("processing", "event"):
+        raise ValueError("eviction must be 'processing' or 'event'")
     ensure_shipped(spark)
     docs = (
         spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
+    ttl_ms = (
+        int(state_ttl_ms) if state_ttl_ms is not None
+        else NEAR_DUP_STATE_TTL_MS
+    )
     sh = docs.select(
         "doc_id",
+        "ingest_ts",
         F.expr(_SIMHASH64_EXPR).alias("simhash"),
-        F.lit(
-            int(state_ttl_ms) if state_ttl_ms is not None
-            else NEAR_DUP_STATE_TTL_MS
-        ).alias("_ttl_ms"),
+        F.lit(ttl_ms).alias("_ttl_ms"),
     )
+    if eviction == "event":
+        # EventTimeTimeout requires a watermark on the grouped stream;
+        # the horizon itself doubles as the allowed lateness
+        sh = sh.withWatermark("ingest_ts", f"{ttl_ms} milliseconds")
     bands = sh.select(
         "doc_id",
         "simhash",
         "_ttl_ms",
+        "ingest_ts",
         F.explode(
             F.array(
                 *[
@@ -330,14 +419,25 @@ def stream_near_dup_flags(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "_ttl_ms", "b.band_id", "b.band_val")
-    flags = bands.groupBy("band_id", "band_val").applyInPandasWithState(
-        _near_dup_band_fn,
-        outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
-        stateStructType=NEAR_DUP_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    ).select(
+        "doc_id", "simhash", "_ttl_ms", "ingest_ts", "b.band_id", "b.band_val"
     )
+    if eviction == "event":
+        flags = bands.groupBy("band_id", "band_val").applyInPandasWithState(
+            _near_dup_band_fn_event,
+            outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
+            stateStructType=NEAR_DUP_EVENT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    else:
+        flags = bands.groupBy("band_id", "band_val").applyInPandasWithState(
+            _near_dup_band_fn,
+            outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
+            stateStructType=NEAR_DUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     return (
         flags.writeStream.outputMode("update")
         .format("memory")

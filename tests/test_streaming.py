@@ -282,6 +282,63 @@ def test_stream_near_dup_state_ttl_evicts_idle_buckets(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_near_dup_event_time_eviction(spark):
+    """EVENT-time horizon (VERDICT r4 #6): duplicates arriving within
+    the event-time TTL are flagged; a duplicate whose ingest_ts is past
+    the horizon is NOT — state expiry follows the DATA's clock, with no
+    wall-clock sleeps anywhere in the test (deterministic by
+    construction, unlike a processing-time TTL)."""
+    import datetime
+    import pathlib
+
+    from selma_spark.spark.streaming import stream_near_dup_flags
+
+    tmp = tempfile.mkdtemp(prefix="selma_snear_evt_")
+    try:
+        inp, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+        pathlib.Path(inp).mkdir(parents=True)
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        schema = "doc_id string, text string, ingest_ts timestamp"
+        # f1: the original at t0
+        spark.createDataFrame([("a", base, t0)], schema).coalesce(1) \
+            .write.mode("append").parquet(f"{inp}/f1")
+        # f2: an IN-horizon re-send (t0+30s < 60s ttl) + an unrelated doc
+        # far in the future that drags the watermark past a's horizon
+        spark.createDataFrame(
+            [("c", base, t0 + datetime.timedelta(seconds=30)),
+             ("z", "totally different interleaved filler words here",
+              t0 + datetime.timedelta(minutes=10))],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(f"{inp}/f2")
+        # f3: a byte-identical re-send whose EVENT time is ~9.5 min past
+        # the bucket's last activity — beyond the 60s event-time horizon
+        spark.createDataFrame(
+            [("b", base, t0 + datetime.timedelta(minutes=10))], schema
+        ).coalesce(1).write.mode("append").parquet(f"{inp}/f3")
+
+        q = stream_near_dup_flags(
+            spark, f"{inp}/*", ckpt, query_name="snear_evt_test",
+            state_ttl_ms=60_000, eviction="event",
+        )
+        q.awaitTermination(120)
+        q.stop()
+        rows = spark.sql(
+            "SELECT doc_id, min(near_dup_of) AS dup_of, "
+            "count(near_dup_of) AS n_hits FROM snear_evt_test GROUP BY 1"
+        ).collect()
+        got = {r["doc_id"]: (r["dup_of"], r["n_hits"]) for r in rows}
+        assert got["a"][1] == 0                       # first arrival
+        assert got["c"][0] == "a" and got["c"][1] > 0  # inside horizon
+        assert got["z"][1] == 0                       # unrelated
+        assert got["b"][1] == 0, got                  # past horizon: evicted
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_dedup_documents(spark):
     """Duplicate payloads arriving across micro-batches inside the
     watermark horizon are suppressed; distinct payloads all land."""
