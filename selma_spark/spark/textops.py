@@ -599,13 +599,23 @@ def near_dup_clusters(
     max_iter: int = 20,
 ) -> DataFrame:
     """Dedup clustering: connected components over the LSH candidate
-    graph via min-label propagation — each doc in any near-dup pair gets
-    cluster_id = min doc_id of its component, i.e. the keeper a
-    downstream pass would retain. Iterations are join + min-aggregate
-    (both shuffle on doc_id and converge in O(component diameter), which
-    is tiny for near-dup clusters); the loop stops at fixpoint. At
-    serious scale you'd upgrade to large-star/small-star to cut the
-    iteration count on high-diameter graphs — same join primitives."""
+    graph — each doc in any near-dup pair gets cluster_id = min doc_id
+    of its component, i.e. the keeper a downstream pass would retain.
+
+    Algorithm: alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — each round is
+    two groupBy-min + join passes over the edge list, and the edge set
+    contracts every component into a star centered at its min node in
+    O(log^2 n) rounds (practically <= ~7). This replaced plain min-label
+    propagation in r5 after the scale soak caught propagation exceeding
+    20 rounds on a 4x corpus: every corpus growth re-draws the LSH
+    collision graph, long candidate chains appear with size, and
+    O(diameter) rounds of shuffles is exactly what breaks at 100 TB
+    (the same 254-node chain that took propagation 32 rounds converges
+    in 7 star rounds — pinned by tests/test_recall_differential.py's
+    path-graph test). The loop still stops at the exact edge-set
+    fixpoint and fails loudly if max_iter is hit (a partially-contracted
+    graph would silently split components)."""
     # localCheckpoint truncates lineage each round — without it the
     # iterative plan nests one union+join+agg per round and analysis/
     # codegen blow up exponentially (the standard Spark iterative-
@@ -613,49 +623,77 @@ def near_dup_clusters(
     pairs = near_dup_pairs(
         documents, max_band_size=max_band_size
     ).localCheckpoint()
+    # canonical (a < b) edge list; near_dup_pairs guarantees doc_a < doc_b
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("a").alias("doc_id"))
+        .union(edges.select(F.col("b").alias("doc_id")))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    changed = 1
+    converged = False
     for _ in range(max_iter):
-        nbr = edges.join(
-            labels, edges["dst"] == labels["doc_id"]
-        ).select(edges["src"].alias("doc_id"), "label")
-        new_labels = (
-            labels.union(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+        # large-star: every node v connects its LARGER neighbors to
+        # m = min(N(v) + {v}); m <= v < u keeps edges canonical for free
+        sym = edges.select(
+            F.col("a").alias("v"), F.col("b").alias("u")
+        ).union(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        mins = sym.groupBy("v").agg(F.min("u").alias("_mu"))
+        m_expr = F.least(F.col("v"), F.col("_mu"))
+        ls = (
+            sym.join(mins, "v")
+            .where(F.col("u") > F.col("v"))
+            .select(m_expr.alias("a"), F.col("u").alias("b"))
+            .distinct()
         )
+        # small-star: every node v connects itself and its SMALLER
+        # neighbors to m = min of those neighbors (m < u < v canonical)
+        sym2 = ls.select(
+            F.col("a").alias("v"), F.col("b").alias("u")
+        ).union(ls.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        smaller = sym2.where(F.col("u") < F.col("v"))
+        mins2 = smaller.groupBy("v").agg(F.min("u").alias("_m2"))
+        ss_leaves = (
+            smaller.join(mins2, "v")
+            .where(F.col("u") != F.col("_m2"))
+            .select(F.col("_m2").alias("a"), F.col("u").alias("b"))
+        )
+        ss_self = mins2.select(
+            F.col("_m2").alias("a"), F.col("v").alias("b")
+        )
+        new_edges = ss_leaves.union(ss_self).distinct().localCheckpoint()
         changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "_old"), "doc_id"
-            )
-            .where(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
         )
-        labels = new_labels
+        edges = new_edges
         if changed == 0:
+            converged = True
             break
-    if changed != 0:
-        # fail loudly: partially-propagated labels would silently split
-        # one component into several clusters
+    if not converged:
+        # fail loudly: a partially-contracted edge set would silently
+        # split one component into several clusters
         raise RuntimeError(
             f"near_dup_clusters did not converge within {max_iter} "
-            "rounds (component diameter too large); raise max_iter"
+            "star rounds; raise max_iter"
         )
-    return labels.select(
-        "doc_id", F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    # fixpoint edges are stars (a = component-min center, b = member)
+    return (
+        nodes.join(
+            edges.select(
+                F.col("b").alias("doc_id"), F.col("a").alias("label")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def chunk_documents(

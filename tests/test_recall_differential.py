@@ -164,6 +164,80 @@ def test_pigeonhole_shared_band_property(corpus):
     assert checked > 0
 
 
+# --- clustering: star contraction vs brute-force components -----------------
+
+def test_near_dup_clusters_matches_brute_components_on_chain_graph(spark):
+    """Adversarial long-chain candidate graph (sliding 21-token windows
+    over one token stream, doc_ids scrambled): the r5 soak showed plain
+    min-label propagation needs O(diameter) rounds on exactly this
+    shape, which is why near_dup_clusters now runs alternating
+    large-star/small-star (O(log^2 n) rounds). This pins (a) convergence
+    within the default 20-round budget on a deep chain and (b) cluster
+    labels == brute-force connected components of the ACTUAL candidate
+    pair graph, computed in Python."""
+    from selma_spark.spark import textops as T
+
+    stream = [f"w{j}" for j in range(120)]
+    rows = [(i, " ".join(stream[i : i + 21])) for i in range(100)]
+    # 37 is coprime to 100 -> a deterministic id scramble, so the min id
+    # lands mid-chain and label placement is adversarial
+    docs_rows = [((i * 37) % 100, txt) for i, (_, txt) in enumerate(rows)]
+    docs = spark.createDataFrame(docs_rows, "doc_id bigint, text string")
+
+    pairs = [
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in T.near_dup_pairs(docs).collect()
+    ]
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # brute components + diameter of the largest (the chain must be deep
+    # enough that an O(diameter) algorithm would be stressed)
+    seen: set = set()
+    comps = []
+    for v in adj:
+        if v in seen:
+            continue
+        stack, comp = [v], []
+        seen.add(v)
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        comps.append(comp)
+    big = max(comps, key=len)
+
+    def _far(s):
+        dist = {s: 0}
+        order = [s]
+        for u in order:
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    order.append(w)
+        far = max(dist, key=dist.get)
+        return far, dist[far]
+
+    f1, _ = _far(big[0])
+    _, diameter = _far(f1)
+    assert len(big) >= 50 and diameter >= 10, (len(big), diameter)
+
+    expected = {}
+    for comp in comps:
+        mn = min(comp)
+        for u in comp:
+            expected[u] = mn
+    got = {
+        int(r["doc_id"]): int(r["cluster_id"])
+        for r in T.near_dup_clusters(docs).collect()
+    }
+    assert got == expected
+
+
 # --- LSH + exact verify: recall vs brute-force Jaccard ----------------------
 
 def test_near_dup_verified_equals_brute_force_jaccard(spark, corpus):
