@@ -462,7 +462,7 @@ def main():
     # regime a 100-TB run lives in (NOT a degenerate x64 exact-dup
     # blowup that the caps would simply drop).
     soak = None
-    if os.environ.get("SELMA_BENCH_SOAK", "0") == "1":
+    if os.environ.get("SELMA_BENCH_SOAK", "1") == "1":
         soak = run_scale_soak()
 
     # late flagship leg: a fresh session minutes after the early one —

@@ -178,6 +178,34 @@ def _extract_attrs(src: str, blob_start: int, blob_end: int):
     return attrs
 
 
+# HOT-path lexer: one C-level match consumes a text run AND the
+# following simple tag (end tag, or start tag in _FAST_TAG's shape) —
+# halving Python-loop iterations vs find+branch+match per token (the
+# r5 single-core tokenizer win; the cold dispatch below is unchanged
+# and handles everything the alternation doesn't: comments, doctype,
+# bogus constructs, literal '<', EOF-truncated tags). Groups: 1 text
+# run, 2 end-tag name, 3 start-tag name, 4 attr blob, 5 self-closing
+# slash. Backtracking-safe: [^<]* contains no '<', so a failed tag
+# alternative cannot retry at an earlier position.
+_HOT = re.compile(
+    r"([^<]*)<"
+    r"(?:"
+    r"/([a-zA-Z][^\t\n\r\f />]*)[^>]*>"
+    r"|"
+    r"([a-zA-Z][a-zA-Z0-9-]*)"
+    # the blob here is _STRICT_BLOB's shape, not _FAST_TAG's: a hot
+    # match therefore GUARANTEES a batch-extractable blob (no separate
+    # validation pass); quote-led unquoted values fail the whole
+    # alternation and fall to the cold path, which routes them through
+    # _parse_start_tag's fast-then-general chain exactly as before
+    r"((?:[\t\n\r\f ]+[^\t\n\r\f /=>]+"
+    r"(?:=(?![\t\n\r\f ])"
+    r"(?>\"[^\"]*\"|'[^']*'|[^\"'\t\n\r\f >][^\t\n\r\f >]*|))?)*)"
+    r"[\t\n\r\f ]*(/?)>"
+    r")"
+)
+
+
 def tokenize(html: str, light: bool = False, need_spans: bool = False) -> list[Token]:
     """light=True skips attribute materialization (used by passes that
     only need tag names/boundaries, e.g. the final sanitization pass).
@@ -191,8 +219,51 @@ def tokenize(html: str, light: bool = False, need_spans: bool = False) -> list[T
     find = html.find
     # lowercase copy for case-insensitive close-tag scans in rawtext modes
     hlow = None
+    hot = None if need_spans else _HOT.match
 
     while i < n:
+        m = hot(html, i) if hot is not None else None
+        if m is not None:
+            t_end = m.end(1)
+            if t_end > i:
+                append(Token(TEXT, html, i, t_end))
+            ename, raw_name, blob, slash = m.group(2, 3, 4, 5)
+            i_new = m.end()
+            if ename is not None:
+                append(Token(END_TAG, html, t_end, i_new, name=ename.lower()))
+                i = i_new
+                continue
+            if blob and not light:
+                # batch path: the hot pattern's blob IS the strict shape,
+                # so extraction can be deferred with no validation pass —
+                # same contract as _parse_start_tag's batch branch
+                tok = Token(
+                    START_TAG, html, t_end, i_new,
+                    name=raw_name.lower(), attrs=None,
+                    self_closing=slash == "/",
+                )
+                tok._ablob = (m.end(3), m.end(4))
+            else:
+                tok = Token(
+                    START_TAG, html, t_end, i_new, name=raw_name.lower(),
+                    attrs=[], self_closing=slash == "/",
+                )
+            append(tok)
+            i = i_new
+            mode_tag = tok.name
+            if mode_tag == "plaintext":
+                if i < n:
+                    append(Token(TEXT, html, i, n, text_type=TEXT_TYPE_PLAIN))
+                break
+            if not tok.self_closing and (
+                mode_tag == "script"
+                or mode_tag in RAWTEXT_TAGS
+                or mode_tag in RCDATA_TAGS
+            ):
+                if hlow is None:
+                    hlow = html.lower()
+                i = _consume_rawtext(html, hlow, i, mode_tag, append)
+            continue
         lt = find("<", i)
         if lt < 0:
             append(Token(TEXT, html, i, n))

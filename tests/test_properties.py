@@ -332,3 +332,43 @@ def test_text_within_scoping_matches_independent_model(data):
     col = Collector()
     Rewriter(sanitizer=None, handlers=[col]).rewrite(html)
     assert col.chunks == expected, (html, col.chunks, expected)
+
+
+@given(_fragments)
+@settings(max_examples=400, deadline=None)
+def test_hot_lexer_agrees_with_cold_dispatch(html):
+    """r5 hot-path lexer differential: the combined text+tag regex
+    (tokenizer._HOT) must produce token streams identical to the cold
+    find/branch/match dispatch — kinds, boundaries, names, self_closing,
+    text types, AND extracted attrs — in both batch and light modes
+    (120k-case bulk fuzz ran clean at introduction; this pins it in CI)."""
+    from selma_spark import tokenizer as tk
+
+    class _NoHot:
+        @staticmethod
+        def match(s, i):
+            return None
+
+    real = tk._HOT
+    try:
+        tk._HOT = real
+        hot_b, hot_l = tk.tokenize(html), tk.tokenize(html, light=True)
+        tk._HOT = _NoHot
+        cold_b, cold_l = tk.tokenize(html), tk.tokenize(html, light=True)
+    finally:
+        tk._HOT = real
+    for x, y in ((hot_b, cold_b), (hot_l, cold_l)):
+        assert len(x) == len(y), (html, len(x), len(y))
+        for t1, t2 in zip(x, y):
+            assert (
+                t1.kind, t1.start, t1.end, t1.name,
+                t1.self_closing, t1.text_type,
+            ) == (
+                t2.kind, t2.start, t2.end, t2.name,
+                t2.self_closing, t2.text_type,
+            ), (html, t1, t2)
+            a1 = [(a.name, a.raw_name, a.value, a.has_value)
+                  for a in (t1.attrs or [])]
+            a2 = [(a.name, a.raw_name, a.value, a.has_value)
+                  for a in (t2.attrs or [])]
+            assert a1 == a2, (html, a1, a2)
