@@ -643,6 +643,10 @@ def _sanitize_pass(html, sanitizer) -> str:
     # contiguous passthrough tokens are emitted as ONE source slice
     run_start = -1
     run_end = -1
+    # per-pass memo for _sanitize_element outcomes (see the START_TAG
+    # node branch); keys are raw tag slices, so memory is bounded by the
+    # document's distinct-tag bytes
+    san_memo: dict = {}
 
     def keep(tok):
         nonlocal run_start, run_end
@@ -703,10 +707,36 @@ def _sanitize_pass(html, sanitizer) -> str:
                         )
                 continue
 
-            # kept element with attributes (or iframe): full node logic
-            node = _Node(tok)
-            _sanitize_element(sanitizer, node)
-            mode = node.removed_mode
+            # kept element with attributes (or iframe): full node logic.
+            # _sanitize_element is a pure function of (raw tag bytes,
+            # frozen config) — no positional or stack state — so its
+            # OUTCOME is memoized per pass on the raw slice (r5): web
+            # corpora repeat start tags massively, and a hit skips attr
+            # extraction + unescape/allowlist/protocol checks +
+            # re-serialization entirely. Three outcomes: "content"
+            # (force-removed, suppress subtree), "keep" (raw passthrough
+            # — includes canonical-rebuild == source), ("emit", s,
+            # inner) (re-serialized, optional inner replacement).
+            raw = html[tok.start:tok.end]
+            hit = san_memo.get(raw)
+            if hit is None:
+                node = _Node(tok)
+                _sanitize_element(sanitizer, node)
+                if node.removed_mode == "content":
+                    hit = ("content", None, None)
+                elif node.modified or node.inner_content is not None:
+                    s = node.serialize_start()
+                    if node.inner_content is None and s == raw:
+                        # canonical rebuild == source bytes (already
+                        # double-quoted, lowercase, single-spaced): keep
+                        # the raw run contiguous instead of flushing
+                        hit = ("keep", None, None)
+                    else:
+                        hit = ("emit", s, node.inner_content)
+                else:
+                    hit = ("keep", None, None)
+                san_memo[raw] = hit
+            mode, s, inner = hit
             if mode == "content":  # force-removed via <!-- attr
                 if not no_end:
                     open_counts[name] = open_counts.get(name, 0) + 1
@@ -714,21 +744,14 @@ def _sanitize_pass(html, sanitizer) -> str:
                     suppress += 1
                 continue
             if suppress == 0:
-                if node.modified or node.inner_content is not None:
-                    s = node.serialize_start()
-                    if node.inner_content is None and s == html[tok.start:tok.end]:
-                        # canonical rebuild == source bytes (already
-                        # double-quoted, lowercase, single-spaced): keep
-                        # the raw run contiguous instead of flushing
-                        keep(tok)
-                    else:
-                        flush()
-                        emit(s)
-                        if node.inner_content is not None and not no_end:
-                            emit(node.inner_content)
-                else:
+                if mode == "keep":
                     keep(tok)
-            if node.inner_content is not None and not no_end:
+                else:
+                    flush()
+                    emit(s)
+                    if inner is not None and not no_end:
+                        emit(inner)
+            if mode == "emit" and inner is not None and not no_end:
                 open_counts[name] = open_counts.get(name, 0) + 1
                 stack.append([name, True, True, None])
                 suppress += 1
