@@ -424,7 +424,16 @@ def parse_pdf_bytes(payload: bytes) -> list[dict]:
     blocks: list[dict] = []
     for page_no, kid in enumerate(kids):
         page = doc.deref(kid)
-        blocks.extend(_content_blocks(doc, page, page_no))
+        try:
+            blocks.extend(_content_blocks(doc, page, page_no))
+        except IndexError:
+            # an operator popped more operands than the malformed
+            # content stream supplied — surface as a parse error, not a
+            # bare interpreter crash
+            raise PdfParseError(
+                f"malformed content stream on page {page_no}: "
+                "operand stack underflow"
+            ) from None
     return blocks
 
 

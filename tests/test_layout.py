@@ -178,3 +178,11 @@ def test_layout_blocks_plumbing(spark):
         by_doc.setdefault(r["doc_id"], []).append(r)
     for d, rs in by_doc.items():
         assert len(rs) == 3 + d % 3
+
+
+def test_parse_pdf_operand_underflow_is_a_parse_error():
+    """A malformed content stream whose operator pops more operands than
+    supplied surfaces as PdfParseError, not a bare IndexError."""
+    pdf = _wrap_single_page(b"BT 5 Tm (x) Tj ET\n")  # Tm needs 6 operands
+    with pytest.raises(layout.PdfParseError):
+        layout.parse_pdf_bytes(pdf)
