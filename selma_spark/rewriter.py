@@ -1125,26 +1125,45 @@ def _run_pass(html, sanitizer, handlers) -> str:
             # svg/math subtree it is character data — dispatch it to the
             # active text handlers as a ``cdata_section`` chunk, keeping
             # the delimiters (the chunk is the character data only, as
-            # in lol-html). CDATA whose data contains '>' still splits
-            # at the first '>' (DIVERGENCES.md: context-free lexing).
+            # in lol-html). Since r5, CDATA whose data contains '>' is
+            # REPAIRED here: the bogus comment ended at the first '>',
+            # but the construct runs to the literal ']]>' (lol-html's
+            # stateful scan) — merge to the terminator and re-lex the
+            # rest of the document from after it (closes the main
+            # residual of DIVERGENCES.md #1; only an EOF-unterminated
+            # CDATA keeps the bogus-comment lexing).
             if (
                 tactive_counts
                 and (open_counts.get("svg") or open_counts.get("math"))
-                and tok.end - tok.start >= 12
+                and tok.end - tok.start >= 10
                 and html.startswith("<![CDATA[", tok.start, tok.end)
-                and html.startswith("]]>", tok.end - 3, tok.end)
             ):
-                content = html[tok.start + 9 : tok.end - 3]
-                if not content:
-                    # Empty <![CDATA[]]> is still character data in
-                    # foreign content — emit the shell verbatim rather
-                    # than falling through to comment removal (a
-                    # sanitizer with allow_comments=False would delete
-                    # it while preserving non-empty CDATA; ADVICE r4 #3).
-                    if suppress == 0:
-                        keep(tok.start, tok.end)
-                    continue
-                if content:
+                merged = False
+                if tok.end - tok.start >= 12 and html.startswith(
+                    "]]>", tok.end - 3, tok.end
+                ):
+                    cd_end = tok.end
+                else:
+                    e = html.find("]]>", tok.start + 9)
+                    if e < 0:
+                        cd_end = None  # unterminated at EOF: bogus comment
+                    else:
+                        cd_end = e + 3
+                        merged = True
+                        tokens = tk.tokenize(html, start=cd_end)
+                        ntok = len(tokens)
+                        ti = 0
+                if cd_end is not None:
+                    content = html[tok.start + 9 : cd_end - 3]
+                    if not content:
+                        # Empty <![CDATA[]]> is still character data in
+                        # foreign content — emit the shell verbatim rather
+                        # than falling through to comment removal (a
+                        # sanitizer with allow_comments=False would delete
+                        # it while preserving non-empty CDATA; ADVICE r4 #3).
+                        if suppress == 0:
+                            keep(tok.start, cd_end)
+                        continue
                     chunk = TextChunk(content, TEXT_TYPE_CDATA)
                     dispatched = False
                     for h_idx in sorted(tactive_counts):
@@ -1172,6 +1191,14 @@ def _run_pass(html, sanitizer, handlers) -> str:
                             for p in chunk.after_parts:
                                 emit(p)
                             emit("]]>")
+                        continue
+                    if merged:
+                        # merged construct with no interested handler:
+                        # character data, emitted verbatim — comment
+                        # semantics (allow_comments) don't apply, and the
+                        # remainder was already re-lexed from cd_end
+                        if suppress == 0:
+                            keep(tok.start, cd_end)
                         continue
             if sanitizer is not None and not sanitizer.allow_comments:
                 pass  # removed

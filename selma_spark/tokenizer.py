@@ -206,16 +206,20 @@ _HOT = re.compile(
 )
 
 
-def tokenize(html: str, light: bool = False, need_spans: bool = False) -> list[Token]:
+def tokenize(html: str, light: bool = False, need_spans: bool = False,
+             start: int = 0) -> list[Token]:
     """light=True skips attribute materialization (used by passes that
     only need tag names/boundaries, e.g. the final sanitization pass).
     need_spans=True materializes attribute source spans (only the
     handler pass needs them, for attribute_source_location); the default
-    uses a faster batch extraction with spans=None."""
+    uses a faster batch extraction with spans=None. ``start`` lexes from
+    a byte offset with ABSOLUTE token spans (used by the rewriter's
+    foreign-content CDATA repair to re-lex the document after a merged
+    ``]]>`` terminator)."""
     tokens: list[Token] = []
     append = tokens.append
     n = len(html)
-    i = 0
+    i = start
     find = html.find
     # lowercase copy for case-insensitive close-tag scans in rawtext modes
     hlow = None

@@ -422,6 +422,54 @@ def test_cdata_empty_is_suppressed_like_empty_text():
     assert "cdata_section" not in seen  # empty-chunk suppression
 
 
+def test_cdata_with_gt_in_data_is_one_chunk_in_foreign_content():
+    """r5: CDATA whose data contains '>' inside an open svg/math subtree
+    is repaired to ONE cdata_section chunk running to the literal ']]>'
+    (lol-html's stateful scan), closing DIVERGENCES.md #1's residual."""
+    seen = []
+    h = H(Selector(match_text_within="svg"),
+          text=lambda s, t: seen.append((t.text_type, t.content)))
+    out = rewrite('<svg><![CDATA[a > b > c]]><b>x</b></svg>tail', h)
+    assert out == '<svg><![CDATA[a > b > c]]><b>x</b></svg>tail'
+    assert ("cdata_section", "a > b > c") in seen
+
+
+def test_cdata_with_gt_mutation_keeps_delimiters():
+    def text(s, t):
+        if t.text_type == "cdata_section":
+            t.replace("Z", as_="text")
+
+    h = H(Selector(match_text_within="math"), text=text)
+    assert rewrite('<math><![CDATA[p>q]]></math>', h) == \
+        '<math><![CDATA[Z]]></math>'
+
+
+def test_cdata_terminator_inside_later_attr_relexes_remainder():
+    """']]>' landing inside what the bogus-comment lexing saw as a later
+    tag: data runs to the terminator, and the remainder of the document
+    re-lexes fresh from after it."""
+    seen = []
+    h = H(Selector(match_text_within="svg"),
+          text=lambda s, t: seen.append(t.content))
+    out = rewrite('<svg><![CDATA[x > <b a="]]>">rest</svg>', h)
+    assert out == '<svg><![CDATA[x > <b a="]]>">rest</svg>'
+    assert seen == ['x > <b a="', '">rest']
+
+
+def test_cdata_unterminated_at_eof_keeps_bogus_comment_lexing():
+    h = H(Selector(match_text_within="svg"), text=lambda s, t: None)
+    assert rewrite('<svg><![CDATA[x > y', h) == '<svg><![CDATA[x > y'
+
+
+def test_cdata_with_gt_outside_foreign_content_unchanged():
+    seen = []
+    h = H(Selector(match_text_within="*"),
+          text=lambda s, t: seen.append(t.text_type))
+    out = rewrite('<div><![CDATA[a > b]]></div>', h)
+    assert out == '<div><![CDATA[a > b]]></div>'
+    assert "cdata_section" not in seen
+
+
 def test_cdata_empty_survives_comment_stripping_sanitizer():
     """Empty <![CDATA[]]> in foreign content is character data, not a
     comment: a sanitizer with allow_comments=False must preserve it just
