@@ -179,9 +179,15 @@ def lsh_bands(
     counts = bands.groupBy("band_id", "band_val").agg(
         F.count("*").alias("_band_n")
     )
+    # merge hint (r5, soak-caught): every frame in this chain descends
+    # from a localCheckpointed signature frame whose size ESTIMATE is the
+    # tiny source-parquet size — the planner would happily broadcast the
+    # corpus-scaled bucket-count table (8 GiB broadcast failure at the
+    # 3.2M-doc soak point). Corpus-scaled sides are pinned to shuffle
+    # joins; genuinely tiny sides elsewhere stay explicit F.broadcast.
     return (
         bands.join(
-            counts.where(F.col("_band_n") <= max_band_size),
+            counts.where(F.col("_band_n") <= max_band_size).hint("merge"),
             ["band_id", "band_val"],
         )
         .drop("_band_n")
@@ -204,7 +210,10 @@ def near_dup_pairs(
     does not eliminate an intermediate global sort under a join)."""
     kept = lsh_bands(documents, max_band_size=max_band_size, sig=sig)
     a = kept.alias("a")
-    b = kept.alias("b")
+    # merge hint: both self-join sides are corpus-scaled but ESTIMATED
+    # tiny (checkpoint ancestry, see lsh_bands) — without it the planner
+    # broadcasts the whole band set (r5 soak failure at 3.2M docs)
+    b = kept.hint("merge").alias("b")
     out = (
         a.join(
             b,
@@ -311,10 +320,14 @@ def simhash_near_dup(
     counts = bands.groupBy("band_id", "band_val").agg(
         F.count("*").alias("_n")
     )
+    # merge hints: checkpoint-ancestry estimates again (see lsh_bands) —
+    # the bucket-count table and both self-join sides scale with the
+    # corpus and must never be planner-broadcast
     kept = bands.join(
-        counts.where(F.col("_n") <= max_band_size), ["band_id", "band_val"]
+        counts.where(F.col("_n") <= max_band_size).hint("merge"),
+        ["band_id", "band_val"],
     ).drop("_n")
-    a, b = kept.alias("a"), kept.alias("b")
+    a, b = kept.alias("a"), kept.hint("merge").alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
@@ -640,7 +653,11 @@ def near_dup_clusters(
         sym = edges.select(
             F.col("a").alias("v"), F.col("b").alias("u")
         ).union(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
-        mins = sym.groupBy("v").agg(F.min("u").alias("_mu"))
+        # merge hints throughout the star rounds: every frame here is
+        # corpus-scaled with checkpoint-ancestry (tiny) estimates — a
+        # planner broadcast of the min-label table is the same 8 GiB
+        # wall the verify join hit (r5 soak)
+        mins = sym.groupBy("v").agg(F.min("u").alias("_mu")).hint("merge")
         m_expr = F.least(F.col("v"), F.col("_mu"))
         ls = (
             sym.join(mins, "v")
@@ -654,7 +671,7 @@ def near_dup_clusters(
             F.col("a").alias("v"), F.col("b").alias("u")
         ).union(ls.select(F.col("b").alias("v"), F.col("a").alias("u")))
         smaller = sym2.where(F.col("u") < F.col("v"))
-        mins2 = smaller.groupBy("v").agg(F.min("u").alias("_m2"))
+        mins2 = smaller.groupBy("v").agg(F.min("u").alias("_m2")).hint("merge")
         ss_leaves = (
             smaller.join(mins2, "v")
             .where(F.col("u") != F.col("_m2"))
@@ -684,7 +701,7 @@ def near_dup_clusters(
         nodes.join(
             edges.select(
                 F.col("b").alias("doc_id"), F.col("a").alias("label")
-            ),
+            ).hint("merge"),
             "doc_id",
             "left",
         )
@@ -862,8 +879,17 @@ def near_dup_verified(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     sig = _lsh_signature_frame(documents, with_shingles=True)
     cands = near_dup_pairs(documents, sig=sig, ordered=False)
     sh = sig.select("doc_id", "sh")
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    # merge hints (r5, soak-caught): the shingle frames are the HEAVIEST
+    # corpus-scaled tables in the engine (~2 KB/row) yet carry the tiny
+    # checkpoint-ancestry estimate — the planner broadcast them into the
+    # verify join until the 3.2M-doc soak hit Spark's 8 GiB broadcast
+    # wall. At 100 TB this join must shuffle on the pair key, full stop.
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
+    ).hint("merge")
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")
+    ).hint("merge")
     jac = F.round(
         F.size(F.array_intersect("sa", "sb"))
         / F.size(F.array_union("sa", "sb")),

@@ -208,3 +208,24 @@ def test_decoded_resize_is_narrow_before_the_udf(spark):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "Exchange rangepartitioning" in plan, plan
+
+
+def test_near_dup_chain_never_planner_broadcasts(spark):
+    """r5 soak-caught scale bug: frames descending from localCheckpointed
+    signature frames carry the TINY source-parquet size estimate, so the
+    planner broadcast the corpus-scaled shingle/band tables — an 8 GiB
+    broadcast failure at the 3.2M-doc soak point. Every join side in the
+    near-dup chains is corpus-scaled; the plans must carry NO
+    BroadcastExchange at all (tiny sides elsewhere in the engine remain
+    explicit F.broadcast — none live in these chains)."""
+    from selma_spark.spark import textops
+
+    docs = q.load(spark, SF_DIR, "documents")
+    for df in (
+        textops.near_dup_verified(docs),
+        textops.near_dup_pairs(docs),
+        textops.simhash_near_dup(docs),
+    ):
+        plan = plan_of(df, mode="simple")
+        assert "BroadcastExchange" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
