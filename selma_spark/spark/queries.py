@@ -422,6 +422,61 @@ FROM d ORDER BY doc_id
 """
 
 
+# --- 128-bit variant (textops.simhash128 / simhash_near_dup128) -------------
+# same construction with digits 1-32; word bits read digit
+# (off + j//4 + 1), bit (j % 4)
+
+def _simhash_bits_sql(off: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(digs, "
+        f"dv -> ((dv[{off + j // 4 + 1}] >> {j % 4}) & 1) = 1)) "
+        f"> n THEN {_simhash_weight_sql(j)} ELSE 0 END)"
+        for j in range(64)
+    )
+
+
+_SIMHASH_DIGS32_SQL = """
+d AS (SELECT doc_id, len(toks) AS n,
+        list_transform(
+          list_transform(toks, s -> md5(s)),
+          h -> list_transform(range(1, 33),
+                 i -> strpos('0123456789abcdef', substr(h, i, 1)) - 1)) AS digs
+      FROM t)
+"""
+
+
+def q_simhash128_near_dup(spark, sf_dir):
+    return textops.simhash_near_dup128(load_split(spark, sf_dir, "documents"))
+
+
+ORACLE_SIMHASH128_NEAR_DUP = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+{_SIMHASH_DIGS32_SQL},
+sh AS (SELECT doc_id, CAST({{hi}} AS BIGINT) AS sim_hi,
+              CAST({{lo}} AS BIGINT) AS sim_lo FROM d),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, sim_hi, sim_lo, {k} AS band_id, "
+      f"({'sim_hi' if k < 2 else 'sim_lo'} >> {32 * (k % 2)})"
+      f" & 4294967295 AS band_val FROM sh"
+      for k in range(4))}),
+kept AS (
+  SELECT doc_id, sim_hi, sim_lo, band_id, band_val FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_val) <= 100)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+FROM kept a JOIN kept b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+      + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+ORDER BY doc_a, doc_b
+""".replace("{hi}", _simhash_bits_sql(0)).replace(
+    "{lo}", _simhash_bits_sql(16)
+)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return textops.ngram_jaccard(load(spark, sf_dir, "documents"), 1, 2)
 
@@ -2110,6 +2165,10 @@ def build_folded_queries():
         "pq_codes": q_pq_codes,
         # single Lloyd round subsumed by kmeans_refined_assign's loop
         "kmeans_step": q_kmeans_step,
+        # 128-bit scale variant of the in-window simhash_near_dup (r5:
+        # 4x32-bit pigeonhole bands for corpora where 16-bit bands
+        # saturate — soak-measured onset ~3M docs)
+        "simhash128_near_dup": q_simhash128_near_dup,
         # span-order invariant also pinned by media_passthrough + the
         # roundtrip queries (span-sequence equality is their whole check)
         "span_order_preserved": q_span_order_preserved,
@@ -2218,6 +2277,7 @@ def build_folded_oracles():
         "ivf_cells": ORACLE_IVF_CELLS,
         "pq_codes": ORACLE_PQ_CODES,
         "kmeans_step": ORACLE_KMEANS_STEP,
+        "simhash128_near_dup": ORACLE_SIMHASH128_NEAR_DUP,
         "span_order_preserved": ORACLE_SPAN_ORDER,
         "media_resize_plan": ORACLE_MEDIA_RESIZE,
         "golden_strings": _golden_oracle(STRINGS),

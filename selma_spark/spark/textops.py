@@ -277,6 +277,123 @@ def simhash64(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- 128-bit SimHash (the band-saturation scale path) -----------------------
+# The r5 x640 soak made the 64-bit comment measurable: at 3.2M docs the
+# 4x16-bit band space (262,144 buckets) saturates (~49 docs/bucket) and
+# the cap starts dropping 8% of buckets. md5 already yields 128 bits, so
+# the scale variant uses BOTH words: two 64-bit majority-vote signatures
+# (hex digits 1-16 and 17-32) and 4x32-bit pigeonhole bands — hamming<=3
+# over the 128 bits still guarantees >=1 exact band, while the band
+# space grows to 4 * 2^32 (~1.7e10 buckets), pushing saturation out to
+# ~10^11 docs. The digit arrays are built ONCE into a named column so
+# the per-token md5 pass isn't duplicated across the two words.
+
+_SIMHASH_DIGS32_EXPR = """
+transform(
+  transform(split(text, ' '), t -> md5(t)),
+  h -> transform(sequence(1, 32),
+                 i -> instr('0123456789abcdef', substring(h, i, 1)) - 1))
+"""
+
+
+def _simhash_word_expr(dig_off: int) -> str:
+    """64-bit majority-vote word over hex digits
+    [dig_off+1, dig_off+16] of a pre-built ``digs`` column (``n_toks``
+    holds the token count). Same bit permutation as _SIMHASH64_EXPR."""
+    return f"""
+aggregate(
+  zip_with(
+    aggregate(digs, array_repeat(0, 64),
+      (acc, dv) -> zip_with(acc, sequence(0, 63),
+        (a, j) -> a + (shiftright(
+            element_at(dv, {dig_off} + CAST(j / 4 AS INT) + 1),
+            j % 4) & 1))),
+    array({_SIMHASH_WEIGHTS_SQL}),
+    (c, w) -> IF(2 * c > n_toks, w, 0L)),
+  0L, (a, b) -> a + b)
+"""
+
+
+def simhash128(documents: DataFrame) -> DataFrame:
+    """128-bit SimHash as two BIGINT words: ``sim_hi`` over md5 hex
+    digits 1-16 (identical to simhash64's value — pinned by test) and
+    ``sim_lo`` over digits 17-32. One md5 pass per token (digs built
+    once; Catalyst keeps the named column because it feeds both
+    words)."""
+    digs = documents.select(
+        "doc_id",
+        F.expr(_SIMHASH_DIGS32_EXPR).alias("digs"),
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+    )
+    return digs.select(
+        "doc_id",
+        F.expr(_simhash_word_expr(0)).alias("sim_hi"),
+        F.expr(_simhash_word_expr(16)).alias("sim_lo"),
+    ).orderBy("doc_id")
+
+
+def simhash_near_dup128(
+    documents: DataFrame, max_hamming: int = 3, max_band_size: int = 100
+) -> DataFrame:
+    """128-bit SimHash near-duplicate pairs with 4 x 32-bit pigeonhole
+    bands — the same chain shape as simhash_near_dup (checkpointed
+    signature frame, capped buckets, JVM bit_count verify, merge-hinted
+    corpus-scaled joins) with a band space that survives corpora where
+    16-bit bands saturate (soak-measured onset at ~3M docs)."""
+    sh = (
+        simhash128(documents)
+        .select("doc_id", "sim_hi", "sim_lo")
+        .localCheckpoint()
+    )
+    word = {0: "sim_hi", 1: "sim_hi", 2: "sim_lo", 3: "sim_lo"}
+    bands = sh.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.shiftright(F.col(word[k]), 32 * (k % 2))
+                        .bitwiseAND(F.lit(4294967295))
+                        .alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sim_hi", "sim_lo", "b.band_id", "b.band_val")
+    counts = bands.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("_n")
+    )
+    kept = bands.join(
+        counts.where(F.col("_n") <= max_band_size).hint("merge"),
+        ["band_id", "band_val"],
+    ).drop("_n")
+    a, b = kept.alias("a"), kept.hint("merge").alias("b")
+    ham = (
+        F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+        + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def simhash_bands(sh: DataFrame) -> DataFrame:
     """4 x 16-bit band rows from a (doc_id, simhash) frame."""
     return sh.select(

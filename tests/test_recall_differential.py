@@ -164,6 +164,72 @@ def test_pigeonhole_shared_band_property(corpus):
     assert checked > 0
 
 
+def _py_simhash128(text: str) -> tuple:
+    toks = text.split(" ")
+    counts = [0] * 128
+    for t in toks:
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        for j in range(128):
+            counts[j] += (int(h[j // 4], 16) >> (j % 4)) & 1
+    hi = lo = 0
+    for j in range(64):
+        if 2 * counts[j] > len(toks):
+            hi |= 1 << j
+        if 2 * counts[64 + j] > len(toks):
+            lo |= 1 << j
+    return hi, lo
+
+
+def test_simhash128_near_dup_equals_brute_force(spark, corpus):
+    """128-bit variant (r5, the band-saturation scale path): output must
+    equal the all-pairs 128-bit hamming<=3 set modulo kept 32-bit bands,
+    and sim_hi must equal the 64-bit signature bit-for-bit."""
+    from selma_spark.spark import textops as T
+
+    sigs = {d: _py_simhash128(t) for d, t in corpus.items()}
+    occupancy: dict[tuple, int] = {}
+    for hi, lo in sigs.values():
+        for k in range(4):
+            w = hi if k < 2 else lo
+            key = (k, (w >> (32 * (k % 2))) & 0xFFFFFFFF)
+            occupancy[key] = occupancy.get(key, 0) + 1
+    kept = {key for key, n in occupancy.items() if n <= 100}
+
+    def bands_of(hi, lo):
+        for k in range(4):
+            w = hi if k < 2 else lo
+            yield (k, (w >> (32 * (k % 2))) & 0xFFFFFFFF)
+
+    expected = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ha, la = sigs[a]
+            hb, lb = sigs[b]
+            if ((ha ^ hb).bit_count() + (la ^ lb).bit_count()) > 3:
+                continue
+            if any(
+                ka == kb and ka in kept
+                for ka, kb in zip(bands_of(ha, la), bands_of(hb, lb))
+            ):
+                expected.add((a, b))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in T.simhash_near_dup128(docs).collect()
+    }
+    assert got == expected
+    assert got, "vacuous corpus"
+    # hi word is bit-for-bit the 64-bit signature
+    s64 = {
+        int(r["doc_id"]): int(r["simhash"])
+        for r in T.simhash64(docs).collect()
+    }
+    for r in T.simhash128(docs).collect():
+        assert int(r["sim_hi"]) == s64[int(r["doc_id"])]
+
+
 # --- clustering: star contraction vs brute-force components -----------------
 
 def test_near_dup_clusters_matches_brute_components_on_chain_graph(spark):
