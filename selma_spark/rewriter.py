@@ -621,6 +621,24 @@ def _final_pass(html, sanitizer) -> str:
     return "".join(out)
 
 
+def _cdata_extent(html: str, tok) -> tuple:
+    """[start, end) extent of the CDATA construct whose bogus-comment
+    token is ``tok`` (caller has verified the '<![CDATA[' prefix and an
+    open svg/math subtree). Data containing '>' is repaired by scanning
+    to the literal ']]>' terminator (lol-html's stateful lexing; the
+    context-free pass ended the bogus comment at the first '>').
+    Returns (end, merged) — end is None when the construct is
+    unterminated at EOF (bogus-comment lexing stands)."""
+    if tok.end - tok.start >= 12 and html.startswith(
+        "]]>", tok.end - 3, tok.end
+    ):
+        return tok.end, False
+    e = html.find("]]>", tok.start + 9)
+    if e < 0:
+        return None, False
+    return e + 3, True
+
+
 def _sanitize_pass(html, sanitizer) -> str:
     """Sanitize-only fast path (no user handlers): semantically identical
     to _run_pass with handlers=[] but without the handler-dispatch / node
@@ -666,7 +684,13 @@ def _sanitize_pass(html, sanitizer) -> str:
             run_end = -1
 
     TEXT, START_TAG, END_TAG, COMMENT = tk.TEXT, tk.START_TAG, tk.END_TAG, tk.COMMENT
-    for tok in tokens:
+    # index-based so the foreign-content CDATA repair can re-lex and
+    # splice the remaining token stream (see the COMMENT branch)
+    ntok = len(tokens)
+    ti = 0
+    while ti < ntok:
+        tok = tokens[ti]
+        ti += 1
         kind = tok.kind
         if kind == TEXT:
             if suppress == 0:
@@ -788,6 +812,30 @@ def _sanitize_pass(html, sanitizer) -> str:
             continue
 
         if kind == COMMENT:
+            # CDATA in an OPEN svg/math subtree is CHARACTER DATA, not a
+            # comment (same rule as _run_pass, and lexing must agree
+            # between the two passes — the sanitize-vs-VM differential
+            # fuzz pins it): emit verbatim regardless of allow_comments,
+            # repairing '>'-containing data to the ']]>' terminator and
+            # re-lexing the remainder.
+            if (
+                (open_counts.get("svg") or open_counts.get("math"))
+                and tok.end - tok.start >= 10
+                and html.startswith("<![CDATA[", tok.start, tok.end)
+            ):
+                cd_end, merged = _cdata_extent(html, tok)
+                if cd_end is not None:
+                    if merged:
+                        tokens = tk.tokenize(html, start=cd_end)
+                        ntok = len(tokens)
+                        ti = 0
+                    if suppress == 0:
+                        if cd_end == tok.end:
+                            keep(tok)
+                        else:
+                            flush()
+                            emit(html[tok.start:cd_end])
+                    continue
             if allow_comments and suppress == 0:
                 keep(tok)
             continue
@@ -1122,66 +1170,58 @@ def _run_pass(html, sanitizer, handlers) -> str:
             # CDATA sections in foreign content (reference
             # text_chunk.rs:63-70): the context-free tokenizer lexes
             # <![CDATA[..]]> as a bogus comment, but inside an OPEN
-            # svg/math subtree it is character data — dispatch it to the
-            # active text handlers as a ``cdata_section`` chunk, keeping
-            # the delimiters (the chunk is the character data only, as
-            # in lol-html). Since r5, CDATA whose data contains '>' is
-            # REPAIRED here: the bogus comment ended at the first '>',
-            # but the construct runs to the literal ']]>' (lol-html's
-            # stateful scan) — merge to the terminator and re-lex the
-            # rest of the document from after it (closes the main
-            # residual of DIVERGENCES.md #1; only an EOF-unterminated
-            # CDATA keeps the bogus-comment lexing).
+            # svg/math subtree it is CHARACTER DATA — never subject to
+            # comment semantics, dispatched to active text handlers as a
+            # ``cdata_section`` chunk with delimiters preserved. Since
+            # r5 the construct's EXTENT is repaired when its data
+            # contains '>' (merge to the literal ']]>' + re-lex the rest
+            # of the document — lol-html's stateful scan), and the
+            # semantics hold whether or not any handler listens: lexing
+            # must not depend on handler presence (a 160k-case identity
+            # fuzz caught exactly that coupling). Only EOF-unterminated
+            # CDATA keeps bogus-comment lexing (DIVERGENCES.md #1).
             if (
-                tactive_counts
-                and (open_counts.get("svg") or open_counts.get("math"))
+                (open_counts.get("svg") or open_counts.get("math"))
                 and tok.end - tok.start >= 10
                 and html.startswith("<![CDATA[", tok.start, tok.end)
             ):
-                merged = False
-                if tok.end - tok.start >= 12 and html.startswith(
-                    "]]>", tok.end - 3, tok.end
-                ):
-                    cd_end = tok.end
-                else:
-                    e = html.find("]]>", tok.start + 9)
-                    if e < 0:
-                        cd_end = None  # unterminated at EOF: bogus comment
-                    else:
-                        cd_end = e + 3
-                        merged = True
+                cd_end, merged = _cdata_extent(html, tok)
+                if cd_end is not None:
+                    if merged:
                         tokens = tk.tokenize(html, start=cd_end)
                         ntok = len(tokens)
                         ti = 0
-                if cd_end is not None:
                     content = html[tok.start + 9 : cd_end - 3]
-                    if not content:
-                        # Empty <![CDATA[]]> is still character data in
-                        # foreign content — emit the shell verbatim rather
-                        # than falling through to comment removal (a
-                        # sanitizer with allow_comments=False would delete
-                        # it while preserving non-empty CDATA; ADVICE r4 #3).
-                        if suppress == 0:
-                            keep(tok.start, cd_end)
-                        continue
-                    chunk = TextChunk(content, TEXT_TYPE_CDATA)
-                    dispatched = False
-                    for h_idx in sorted(tactive_counts):
-                        h = handlers[h_idx]
-                        ignore = h.selector.ignore_text_within
-                        if ignore and any(
-                            name in ignore for name in ruby_stack
+                    chunk = None
+                    if content and tactive_counts:
+                        chunk = TextChunk(content, TEXT_TYPE_CDATA)
+                        dispatched = False
+                        for h_idx in sorted(tactive_counts):
+                            h = handlers[h_idx]
+                            ignore = h.selector.ignore_text_within
+                            if ignore and any(
+                                name in ignore for name in ruby_stack
+                            ):
+                                continue
+                            if not h.has_text:
+                                raise RewriteError(
+                                    "handler with match_text_within must "
+                                    "define handle_text_chunk"
+                                )
+                            h.obj.handle_text_chunk(chunk)
+                            dispatched = True
+                        if not (
+                            dispatched
+                            or chunk.before_parts
+                            or chunk.after_parts
                         ):
-                            continue
-                        if not h.has_text:
-                            raise RewriteError(
-                                "handler with match_text_within must define "
-                                "handle_text_chunk"
-                            )
-                        h.obj.handle_text_chunk(chunk)
-                        dispatched = True
-                    if dispatched or chunk.before_parts or chunk.after_parts:
-                        if suppress == 0:
+                            chunk = None  # untouched: verbatim below
+                    if suppress == 0:
+                        if chunk is None:
+                            # character data with no interested handler
+                            # (or empty shell): verbatim passthrough
+                            keep(tok.start, cd_end)
+                        else:
                             flush()
                             emit("<![CDATA[")
                             for p in chunk.before_parts:
@@ -1191,15 +1231,7 @@ def _run_pass(html, sanitizer, handlers) -> str:
                             for p in chunk.after_parts:
                                 emit(p)
                             emit("]]>")
-                        continue
-                    if merged:
-                        # merged construct with no interested handler:
-                        # character data, emitted verbatim — comment
-                        # semantics (allow_comments) don't apply, and the
-                        # remainder was already re-lexed from cd_end
-                        if suppress == 0:
-                            keep(tok.start, cd_end)
-                        continue
+                    continue
             if sanitizer is not None and not sanitizer.allow_comments:
                 pass  # removed
             elif suppress == 0:

@@ -470,6 +470,23 @@ def test_cdata_with_gt_outside_foreign_content_unchanged():
     assert "cdata_section" not in seen
 
 
+def test_cdata_is_character_data_in_sanitize_only_pass():
+    """CDATA in an open svg/math subtree takes character-data semantics
+    in the sanitize-only fast pass too — kept verbatim under
+    allow_comments=False, '>'-containing data repaired to ']]>', with NO
+    handlers attached (lexing must not depend on handler presence)."""
+    from selma_spark.sanitizer import Sanitizer
+
+    san = Sanitizer({
+        "elements": ["svg"],
+        "allow_comments": False,
+        "escape_tagfilter": False,
+    })
+    out = Rewriter(sanitizer=san).rewrite(
+        '<svg><![CDATA[a > b]]></svg><!-- gone -->')
+    assert out == '<svg><![CDATA[a > b]]></svg>'
+
+
 def test_cdata_empty_survives_comment_stripping_sanitizer():
     """Empty <![CDATA[]]> in foreign content is character data, not a
     comment: a sanitizer with allow_comments=False must preserve it just
