@@ -491,6 +491,18 @@ class Rewriter:
                     "<(?:%s)" % "|".join(disallowed), re.IGNORECASE
                 )
 
+        # r6: the _sanitize_element outcome memo (r5, formerly per pass)
+        # lives on the Rewriter: outcomes are a pure function of (raw tag
+        # bytes, frozen config), and a task-long Rewriter sees the same
+        # boilerplate start tags across MILLIONS of documents — cross-doc
+        # hits skip attr extraction + unescape/allowlist/protocol checks
+        # + re-serialization. Bounded by _SAN_MEMO_CAP (cleared, not
+        # LRU'd: adversarial all-distinct tags just degrade to r5's
+        # per-pass behavior). Concurrent rewrites share it safely: dict
+        # get/set are atomic under the GIL and both sides compute the
+        # identical value for a key, so a race is a benign double-compute.
+        self._san_memo = {} if sanitizer is not None else None
+
         self.max_allowed_memory_usage = None
         self.preallocated_parsing_buffer_size = None
         if options:
@@ -545,7 +557,7 @@ class Rewriter:
             if self.handlers or self.sanitizer is None:
                 out = _run_pass(html, self.sanitizer, self.handlers)
             else:
-                out = _sanitize_pass(html, self.sanitizer)
+                out = _sanitize_pass(html, self.sanitizer, self._san_memo)
             if self.sanitizer is not None and _needs_final_pass(
                 out, self._final_gate_re
             ):
@@ -621,6 +633,15 @@ def _final_pass(html, sanitizer) -> str:
     return "".join(out)
 
 
+# chunk size (tokens) for the LAZY re-lex after a merged CDATA repair
+# (ADVICE r5 medium): a full tokenize(html, start=cd_end) per repaired
+# construct is O(n^2) on adversarial '<![CDATA[>]]>'-runs (measured
+# 12.9s at 52KB pre-fix). Chunked, each repair discards at most one
+# partial chunk of lookahead, so total lexing work stays O(n * chunk /
+# construct_len) — linear with a small constant.
+_RELEX_CHUNK = 64
+
+
 def _cdata_extent(html: str, tok) -> tuple:
     """[start, end) extent of the CDATA construct whose bogus-comment
     token is ``tok`` (caller has verified the '<![CDATA[' prefix and an
@@ -639,7 +660,13 @@ def _cdata_extent(html: str, tok) -> tuple:
     return e + 3, True
 
 
-def _sanitize_pass(html, sanitizer) -> str:
+# cross-document _sanitize_element memo cap (r6): ~50k distinct raw tag
+# slices is far beyond any real page's tag vocabulary; clearing (not
+# evicting) keeps the overflow path one branch
+_SAN_MEMO_CAP = 50_000
+
+
+def _sanitize_pass(html, sanitizer, san_memo=None) -> str:
     """Sanitize-only fast path (no user handlers): semantically identical
     to _run_pass with handlers=[] but without the handler-dispatch / node
     machinery for trivial kept elements. Stack entries are light 4-lists
@@ -656,15 +683,23 @@ def _sanitize_pass(html, sanitizer) -> str:
     suppress = 0
     allow_comments = sanitizer.allow_comments
     allow_doctype = sanitizer.allow_doctype
-    action_for = sanitizer.action_for
+    # inlined action_for: one dict .get per start tag instead of a
+    # method call + try/except frame (r6; None is a stored value meaning
+    # "allowed", so the unknown-tag default only fires on missing keys)
+    action_get = sanitizer._actions.get
+    unknown_action = sanitizer._actions["unknown"]
 
     # contiguous passthrough tokens are emitted as ONE source slice
     run_start = -1
     run_end = -1
-    # per-pass memo for _sanitize_element outcomes (see the START_TAG
-    # node branch); keys are raw tag slices, so memory is bounded by the
-    # document's distinct-tag bytes
-    san_memo: dict = {}
+    # _sanitize_element outcome memo (see the START_TAG node branch);
+    # keys are raw tag slices. r6: normally the REWRITER-level dict
+    # (cross-document hits — see Rewriter.__init__), capped at
+    # _SAN_MEMO_CAP; per-pass fallback for direct callers.
+    if san_memo is None:
+        san_memo = {}
+    elif len(san_memo) > _SAN_MEMO_CAP:
+        san_memo.clear()
 
     def keep(tok):
         nonlocal run_start, run_end
@@ -685,10 +720,23 @@ def _sanitize_pass(html, sanitizer) -> str:
 
     TEXT, START_TAG, END_TAG, COMMENT = tk.TEXT, tk.START_TAG, tk.END_TAG, tk.COMMENT
     # index-based so the foreign-content CDATA repair can re-lex and
-    # splice the remaining token stream (see the COMMENT branch)
+    # splice the remaining token stream (see the COMMENT branch); the
+    # re-lex is LAZY (chunked via lex_pos) so N repairs cost O(n), not
+    # O(N * n) — see _RELEX_CHUNK
     ntok = len(tokens)
     ti = 0
-    while ti < ntok:
+    lex_pos = None  # byte pos to resume lazy lexing at (None = fully lexed)
+    n_html = len(html)
+    while True:
+        if ti >= ntok:
+            if lex_pos is None or lex_pos >= n_html:
+                break
+            tokens, lex_pos = tk.tokenize(
+                html, start=lex_pos, limit=_RELEX_CHUNK
+            )
+            ntok = len(tokens)
+            ti = 0
+            continue
         tok = tokens[ti]
         ti += 1
         kind = tok.kind
@@ -699,11 +747,17 @@ def _sanitize_pass(html, sanitizer) -> str:
 
         if kind == START_TAG:
             name = tok.name
-            action = action_for(name)
+            action = action_get(name, unknown_action)
             void = name in VOID_TAGS
             no_end = void or tok.self_closing
 
-            if action is None and not tok.attrs and name != "iframe":
+            # attr-less test WITHOUT forcing lazy extraction (r6): a
+            # non-None _ablob means the hot/batch lexer validated a
+            # non-empty attribute blob, so the tag HAS attrs — reading
+            # tok.attrs here would extract them even when the
+            # _sanitize_element memo below hits (where they are unused)
+            if action is None and tok._ablob is None and not tok._attrs \
+                    and name != "iframe":
                 # kept, untouched: raw passthrough (the common case)
                 if suppress == 0:
                     keep(tok)
@@ -826,9 +880,12 @@ def _sanitize_pass(html, sanitizer) -> str:
                 cd_end, merged = _cdata_extent(html, tok)
                 if cd_end is not None:
                     if merged:
-                        tokens = tk.tokenize(html, start=cd_end)
-                        ntok = len(tokens)
+                        # drop the stale lookahead; the refill at the
+                        # loop top re-lexes lazily from cd_end
+                        tokens = ()
+                        ntok = 0
                         ti = 0
+                        lex_pos = cd_end
                     if suppress == 0:
                         if cd_end == tok.end:
                             keep(tok)
@@ -888,6 +945,9 @@ def _run_pass(html, sanitizer, handlers) -> str:
 
     ntok = len(tokens)
     ti = 0
+    # lazy re-lex state after a merged CDATA repair (see _RELEX_CHUNK)
+    lex_pos = None
+    n_html = len(html)
     # shared per-pass byte-offset cursor for attribute_source_location
     # (incremental prefix encodes — see _Node._byte_cursor)
     byte_cursor = [None, 0, 0]
@@ -932,7 +992,29 @@ def _run_pass(html, sanitizer, handlers) -> str:
 
     # hoist kind constants: 2-3 module-attr lookups per token otherwise
     TEXT, START_TAG, END_TAG, COMMENT = tk.TEXT, tk.START_TAG, tk.END_TAG, tk.COMMENT
-    while ti < ntok:
+    while True:
+        if ti >= ntok:
+            if lex_pos is None or lex_pos >= n_html:
+                break
+            tokens, lex_pos = tk.tokenize(
+                html, start=lex_pos, limit=_RELEX_CHUNK
+            )
+            # keep contiguous TEXT runs whole across chunk boundaries:
+            # the TEXT branch coalesces lookahead TEXT tokens into ONE
+            # TextChunk, and a boundary inside a run would split what
+            # handlers observe (each extension step lexes >= 1 token,
+            # so this terminates)
+            while (
+                lex_pos < n_html
+                and tokens
+                and tokens[-1].kind == TEXT
+                and tokens[-1].end == lex_pos
+            ):
+                more, lex_pos = tk.tokenize(html, start=lex_pos, limit=1)
+                tokens.extend(more)
+            ntok = len(tokens)
+            ti = 0
+            continue
         tok = tokens[ti]
         kind = tok.kind
 
@@ -1188,9 +1270,12 @@ def _run_pass(html, sanitizer, handlers) -> str:
                 cd_end, merged = _cdata_extent(html, tok)
                 if cd_end is not None:
                     if merged:
-                        tokens = tk.tokenize(html, start=cd_end)
-                        ntok = len(tokens)
+                        # drop the stale lookahead; the refill at the
+                        # loop top re-lexes lazily from cd_end
+                        tokens = ()
+                        ntok = 0
                         ti = 0
+                        lex_pos = cd_end
                     content = html[tok.start + 9 : cd_end - 3]
                     chunk = None
                     if content and tactive_counts:

@@ -224,6 +224,69 @@ def _argmax_assign(scored: DataFrame, with_cosine: bool = False) -> DataFrame:
 KMEANS_ROUNDS = 5
 
 
+def _collect_centroids(embeddings: DataFrame, n_centroids: int):
+    """Seed centroid table (vec_id < n_centroids) as driver-resident
+    (cid, [double]) rows — KB-sized, the same driver state kmeans_refine
+    always kept between rounds; float32 -> float64 widening is exact."""
+    rows = (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+
+
+def _lit_best_struct(cents_rows, ne_col):
+    """array_max over per-centroid (round(cosine, 9), -cid) structs with
+    the centroid table inlined as LITERALS (r6): the centroid norms are
+    precomputed on the driver (same left-fold + sqrt as _norm — IEEE ops
+    in the same order, so bit-identical) and the row's embedding norm is
+    hoisted into ``ne_col``, computed ONCE instead of once per centroid.
+    Same comparator as _argmax_assign's max(struct(c, nc)): highest
+    cosine, ties -> smallest cid. Replaces the crossJoin + groupBy argmax
+    with a single narrow projection — no exchange, no join."""
+    import math  # noqa: PLC0415
+
+    structs = []
+    for cid, vec in cents_rows:
+        acc = 0.0
+        for v in vec:
+            acc += v * v
+        cn = math.sqrt(acc)
+        clit = F.array(*[F.lit(v) for v in vec])
+        structs.append(
+            F.struct(
+                F.round(
+                    _dot(F.col("embedding"), clit) / (ne_col * F.lit(cn)), 9
+                ).alias("c"),
+                F.lit(-cid).alias("nc"),
+            )
+        )
+    return F.array_max(F.array(*structs))
+
+
+def _lit_assign(
+    embeddings: DataFrame,
+    cents_rows,
+    with_cosine: bool = False,
+    keep_embedding: bool = False,
+) -> DataFrame:
+    """(vec_id, cid[, cosine][, embedding]) against a driver-resident
+    centroid table — one narrow projection (argmax inline per row), zero
+    shuffles. Values identical to _argmax_assign(_assign_scored(...))."""
+    base = embeddings.withColumn("_ne", _norm("embedding")).withColumn(
+        "_m", _lit_best_struct(cents_rows, F.col("_ne"))
+    )
+    cols = ["vec_id", (-F.col("_m.nc")).cast("bigint").alias("cid")]
+    if with_cosine:
+        cols.append(F.round(F.col("_m.c"), 4).alias("cosine"))
+    if keep_embedding:
+        cols.append(F.col("embedding"))
+    return base.select(*cols)
+
+
 def kmeans_refine(
     embeddings: DataFrame, n_centroids: int = 16, rounds: int = KMEANS_ROUNDS
 ) -> list[tuple[int, list[float]]]:
@@ -247,17 +310,24 @@ def kmeans_refine(
     the mean over an empty group has no row)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
-    spark = embeddings.sparkSession
-    dim = len(embeddings.select("embedding").head()[0])
-    current = cents
+    rows = _collect_centroids(embeddings, n_centroids)
+    if not rows:
+        # degenerate input guard (VERDICT r5 nit #3): an empty embeddings
+        # frame has no seed centroids and no assignable vectors
+        raise ValueError(
+            "kmeans_refine requires a non-empty embeddings frame "
+            "(no seed centroids with vec_id < n_centroids)"
+        )
+    dim = len(rows[0][1])
     for _ in range(rounds):
-        assign = _argmax_assign(_assign_scored(embeddings, current))
+        # r6: assignment inlined per row against LITERAL centroids (one
+        # narrow projection; embedding carried through, so the former
+        # vec_id shuffle-join back to embeddings is gone) -> the ONLY
+        # shuffle per round is the (cid, dim) partial-agg mean. Rounding
+        # discipline unchanged: cosine 9-dec pre-argmax, centroid 6-dec.
+        assigned = _lit_assign(embeddings, rows, keep_embedding=True)
         means = (
-            assign.join(embeddings.select("vec_id", "embedding"), "vec_id")
-            .select("cid", F.posexplode("embedding").alias("dimn", "v"))
+            assigned.select("cid", F.posexplode("embedding").alias("dimn", "v"))
             .groupBy("cid", "dimn")
             .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
             .collect()
@@ -268,9 +338,6 @@ def kmeans_refine(
                 r["c"]
             )
         rows = [(cid, vec) for cid, vec in sorted(by_cid.items())]
-        current = spark.createDataFrame(
-            rows, schema="cid bigint, cemb array<double>"
-        )
     return rows
 
 
@@ -305,11 +372,12 @@ def topk_cosine_ivf_refined(
         .limit(nprobe)
         .select("cid")
     )
-    assign = _argmax_assign(_assign_scored(embeddings, cents))
-    cands = (
-        assign.join(F.broadcast(probe), "cid")
-        .where(F.col("vec_id") != query_vec_id)
-        .join(embeddings, "vec_id")
+    # r6: literal-centroid inline argmax (see _lit_assign) with the
+    # embedding carried through — removes the corpus-side argmax
+    # aggregate AND the join back to embeddings for the raw vectors
+    assign = _lit_assign(embeddings, refined, keep_embedding=True)
+    cands = assign.join(F.broadcast(probe), "cid").where(
+        F.col("vec_id") != query_vec_id
     )
     sim = _cosine(F.col("embedding"), F.col("qemb"))
     return (
@@ -331,12 +399,10 @@ def kmeans_refined_assign(
     there about scale carries over. Calling this runs the refinement
     loop (``rounds`` eager Spark jobs) first."""
     refined = kmeans_refine(embeddings, n_centroids, rounds)
-    cents = embeddings.sparkSession.createDataFrame(
-        refined, schema="cid bigint, cemb array<double>"
-    )
-    return _argmax_assign(
-        _assign_scored(embeddings, cents), with_cosine=True
-    ).orderBy("vec_id")
+    # r6: one narrow projection (literal centroids, inline argmax) + the
+    # presentation sort — the former broadcast crossJoin + struct-max
+    # HashAggregate pair (one vec_id exchange) is gone entirely
+    return _lit_assign(embeddings, refined, with_cosine=True).orderBy("vec_id")
 
 
 # --- product quantization (PQ) ---------------------------------------------
@@ -492,12 +558,17 @@ def near_dup_cosine(
     then exact cosine filters the pairs. On a real corpus the threshold
     sits near 0.95; the synthetic testdata embeddings are random, so the
     demo threshold is 0.4 (max observed in-bucket cosine ≈ 0.51)."""
+    # r6: each vector's norm is hoisted into the bucketed projection —
+    # computed once per VECTOR instead of once per candidate PAIR (the
+    # denominator norm_a * norm_b reuses the identical left-fold + sqrt
+    # value, so the rounded cosine is bit-identical)
     e = embeddings.select(
-        _bucket_expr(n_components).alias("bucket"), "vec_id", "embedding"
+        _bucket_expr(n_components).alias("bucket"), "vec_id", "embedding",
+        _norm("embedding").alias("_n"),
     )
     a, b = e.alias("a"), e.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+        F.col("a._n") * F.col("b._n")
     )
     return (
         a.join(

@@ -207,7 +207,7 @@ _HOT = re.compile(
 
 
 def tokenize(html: str, light: bool = False, need_spans: bool = False,
-             start: int = 0) -> list[Token]:
+             start: int = 0, limit: int | None = None):
     """light=True skips attribute materialization (used by passes that
     only need tag names/boundaries, e.g. the final sanitization pass).
     need_spans=True materializes attribute source spans (only the
@@ -215,7 +215,18 @@ def tokenize(html: str, light: bool = False, need_spans: bool = False,
     uses a faster batch extraction with spans=None. ``start`` lexes from
     a byte offset with ABSOLUTE token spans (used by the rewriter's
     foreign-content CDATA repair to re-lex the document after a merged
-    ``]]>`` terminator)."""
+    ``]]>`` terminator).
+
+    ``limit`` (r6) makes the lex RESUMABLE: once at least ``limit``
+    tokens exist the call returns ``(tokens, resume_pos)`` at the next
+    iteration boundary (a chunk may exceed the limit by the few tokens
+    one iteration appends); ``resume_pos == len(html)`` means the
+    document is fully lexed, and ``tokenize(html, start=resume_pos)``
+    continues with byte-identical tokens (the lexer is stateless between
+    iterations). Used by the rewriter's CDATA repair to re-lex lazily —
+    a full re-lex per repaired construct is O(n^2) on adversarial
+    '<![CDATA[>]]>'-runs (ADVICE r5). Without ``limit`` the return value
+    is the plain token list, as before."""
     tokens: list[Token] = []
     append = tokens.append
     n = len(html)
@@ -226,6 +237,8 @@ def tokenize(html: str, light: bool = False, need_spans: bool = False,
     hot = None if need_spans else _HOT.match
 
     while i < n:
+        if limit is not None and len(tokens) >= limit:
+            return tokens, i
         m = hot(html, i) if hot is not None else None
         if m is not None:
             t_end = m.end(1)
@@ -362,6 +375,8 @@ def tokenize(html: str, light: bool = False, need_spans: bool = False,
             # literal "<" text; continue scanning after it
             append(Token(TEXT, html, lt, j))
             i = j
+    if limit is not None:
+        return tokens, n
     return tokens
 
 

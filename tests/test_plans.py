@@ -183,20 +183,19 @@ def test_range_join_is_bucketed_hash_join(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_kmeans_refined_assign_is_broadcast_argmax(spark):
-    # the final assignment against refined centroids must keep the
-    # ivf_assign shape: centroid side broadcast (tiny, KB-sized), argmax
-    # via partial-aggregating HashAggregate — no window, no sort-merge
+def test_kmeans_refined_assign_is_narrow_inline_argmax(spark):
+    # r6: the final assignment against refined centroids inlines the
+    # KB-sized centroid table as literals and computes the argmax per
+    # row — no join of ANY kind, no aggregate, no window; the only
+    # exchange in the whole plan is the presentation sort
     df = simsearch.kmeans_refined_assign(
         q.load(spark, SF_DIR, "embeddings"), rounds=1
     )
     plan = plan_of(df, mode="simple")
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastExchange" in plan, plan  # KB centroid side broadcast
-    # struct-max argmax compiles to a SortAggregate pair with a
-    # map-side partial_max — one vec_id shuffle total, no window
-    assert "partial_max" in plan, plan
+    assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange rangepartitioning" in plan, plan
 
 
 def test_decoded_resize_is_narrow_before_the_udf(spark):

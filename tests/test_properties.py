@@ -372,3 +372,26 @@ def test_hot_lexer_agrees_with_cold_dispatch(html):
             a2 = [(a.name, a.raw_name, a.value, a.has_value)
                   for a in (t2.attrs or [])]
             assert a1 == a2, (html, a1, a2)
+
+
+@given(_fragments)
+@settings(max_examples=200, deadline=None)
+def test_chunked_tokenize_matches_one_shot(s):
+    """r6: tokenize(limit=...) resumability — driving the lexer in
+    small chunks from the returned resume positions must reproduce the
+    one-shot token stream byte-for-byte (kinds, spans, names). This is
+    what the lazy CDATA-repair re-lex relies on."""
+    full = tokenize(s)
+    chunked = []
+    pos = 0
+    n = len(s)
+    while pos < n:
+        toks, pos = tokenize(s, start=pos, limit=2)
+        chunked.extend(toks)
+        if not toks and pos < n:
+            raise AssertionError("no progress")
+    assert len(chunked) == len(full)
+    for a, b in zip(chunked, full):
+        assert (a.kind, a.start, a.end, a.name, a.self_closing,
+                a.text_type) == (b.kind, b.start, b.end, b.name,
+                                 b.self_closing, b.text_type)

@@ -741,3 +741,59 @@ def test_available_is_not_removed():
     h = H(Selector(match_element="b"), element=f)
     rewrite("<b>x</b>", h)
     assert seen == [True, False]
+
+
+# --- r6: lazy chunked re-lex after CDATA repair (ADVICE r5 medium) ---------
+
+def test_cdata_repair_run_is_linear_not_quadratic():
+    """Adversarial '<![CDATA[>]]>'-runs force one repair per construct;
+    pre-r6 each repair re-lexed the WHOLE document remainder (O(n^2):
+    12.9s at 52KB measured). The chunked lazy re-lex must stay ~linear:
+    doubling the input must not quadruple the time. Generous 3x bound
+    per doubling absorbs host throttle-phase noise on a comfortably
+    sub-second workload (~0.2s/0.4s post-fix at these sizes)."""
+    import time
+
+    from selma_spark.sanitizer import RELAXED
+
+    r = Rewriter(sanitizer=RELAXED)
+    seen = []
+
+    def sample(n):
+        doc = "<svg>" + "a<![CDATA[>]]>" * n
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = r.rewrite(doc)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        seen.append(out)
+        return best
+
+    t_small, t_big = sample(4000), sample(8000)
+    assert t_big < 3 * t_small + 0.05, (t_small, t_big)
+
+
+def test_cdata_repair_chunked_relex_output_matches_one_shot():
+    """The lazy chunked re-lex must produce byte-identical output to a
+    one-shot lex: repaired CDATA constructs interleaved with every
+    construct family (tags, comments, rawtext, literal '<' text runs
+    that the chunk-boundary TEXT extension must keep whole)."""
+    seen = []
+
+    def text(s, t):
+        seen.append((t.text_type, t.content))
+
+    h = H(Selector(match_text_within="svg"), text=text)
+    mid = '<b x="1">t</b><!--c--><script>s</script>< lit <p>par</p>'
+    doc = ("<svg>" + ("<![CDATA[a>b]]>" + mid) * 40
+           + "<![CDATA[tail>]]></svg>done")
+    out = rewrite(doc, h)
+    assert out == doc  # untouched handlers: verbatim passthrough
+    # every repaired construct dispatched exactly once as cdata_section
+    cdata = [c for tt, c in seen if tt == "cdata_section"]
+    assert cdata.count("a>b") == 40 and cdata.count("tail>") == 1
+    # sanitize pass drives the same chunked machinery
+    from selma_spark.sanitizer import RELAXED
+    sv = Rewriter(sanitizer=RELAXED).rewrite(doc)
+    assert isinstance(sv, str)

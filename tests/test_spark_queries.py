@@ -207,3 +207,15 @@ def test_lloyd_refinement_improves_quantizer_balance(spark):
     assert len(seed) == len(refined) == 16
     assert statistics.pstdev(refined) < statistics.pstdev(seed)
     assert min(refined) >= min(seed)
+
+
+def test_kmeans_refine_empty_embeddings_raises_typed_error(spark):
+    """r6 (VERDICT r5 nit #3): an empty embeddings frame must raise a
+    typed ValueError, not UnboundLocalError on the rows variable."""
+    from selma_spark.spark import simsearch
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label string"
+    )
+    with pytest.raises(ValueError, match="non-empty embeddings"):
+        simsearch.kmeans_refine(empty, rounds=1)
