@@ -323,6 +323,14 @@ def _content_blocks(doc: _Doc, page: dict, page_no: int) -> list[dict]:
     ctm_stack: list[tuple[float, float]] = []
     stack: list = []  # operand stack
     in_text = False
+    # honest boundary (ADVICE r5 #2): the CTM is modeled as translation
+    # only. A single scale/rotate cm before Do is CORRECT under that
+    # model (the placement origin is exact; w/h live in the media_ref),
+    # which is synth_pdf's image pattern — but COMPOSING another cm on
+    # top of a non-identity linear part, or positioning text under one,
+    # would be silently wrong, so those raise instead.
+    linear_identity = True
+    linear_stack: list[bool] = []
     for kind, val in _pdf_tokens(stream):
         if kind in ("num", "str", "name"):
             stack.append((kind, val))
@@ -340,6 +348,11 @@ def _content_blocks(doc: _Doc, page: dict, page_no: int) -> list[dict]:
             continue
         op = val
         if op == "BT":
+            if not linear_identity:
+                raise NotImplementedError(
+                    "text under a scaled/rotated CTM not modeled "
+                    "(translation-only interpreter)"
+                )
             in_text, tx, ty = True, 0.0, 0.0
         elif op == "ET":
             in_text = False
@@ -353,22 +366,41 @@ def _content_blocks(doc: _Doc, page: dict, page_no: int) -> list[dict]:
             for _ in range(4):
                 stack.pop()
             tx, ty = e, f
-        elif op == "Tj" or op == "'":
+        elif op == "Tj":
             s = stack.pop()[1]
             blocks.append(_text_block(page_no, tx, ty, s))
+        elif op == "'" or op == '"':
+            # honest boundary (ADVICE r5 #2): ' / " imply a T* line
+            # advance driven by the text-leading state this interpreter
+            # does not model — silently treating them as Tj yields wrong
+            # coordinates on real documents, so refuse loudly (same
+            # policy as /Filter streams)
+            raise NotImplementedError(
+                "quote operators (' / \") need leading-aware line "
+                "advance; not modeled"
+            )
         elif op == "TJ":
             arr = stack.pop()[1]
             s = "".join(v for k, v in arr if k == "str")
             blocks.append(_text_block(page_no, tx, ty, s))
         elif op == "q":
             ctm_stack.append(ctm)
+            linear_stack.append(linear_identity)
         elif op == "Q":
             ctm = ctm_stack.pop() if ctm_stack else (0.0, 0.0)
+            linear_identity = linear_stack.pop() if linear_stack else True
         elif op == "cm":
             f = stack.pop()[1]
             e = stack.pop()[1]
-            for _ in range(4):
-                stack.pop()
+            abcd = [stack.pop()[1] for _ in range(4)]  # d, c, b, a
+            if not linear_identity:
+                # composing onto a scaled/rotated CTM: the translation
+                # (e, f) would need the outer linear transform applied
+                raise NotImplementedError(
+                    "cm composition under a non-identity linear part "
+                    "not modeled (translation-only interpreter)"
+                )
+            linear_identity = abcd == [1, 0, 0, 1]  # numeric ==
             ctm = (ctm[0] + e, ctm[1] + f)
         elif op == "Do":
             name = stack.pop()[1]

@@ -94,6 +94,13 @@ def make_rewrite_fn(config="default", handlers_factory=None,
                     return t if len(t) > _cap else _rw(t)
         import pyarrow.compute as pc  # noqa: PLC0415
 
+        if rw is None and memo_bc is None:
+            # pure passthrough (config None, no handlers): the rebuild
+            # below is an identity — skip the arrow decode/re-encode of
+            # every text cell entirely (r6)
+            yield from batches
+            return
+
         for batch in batches:
             spans_idx = batch.schema.get_field_index("spans")
             lst = batch.column(spans_idx)

@@ -326,18 +326,39 @@ def kmeans_refine(
         # shuffle per round is the (cid, dim) partial-agg mean. Rounding
         # discipline unchanged: cosine 9-dec pre-argmax, centroid 6-dec.
         assigned = _lit_assign(embeddings, rows, keep_embedding=True)
+        # per-dim means as 64 column aggregates on groupBy(cid) — no
+        # posexplode row blow-up (n_vectors x dim rows) and no (cid, dim)
+        # shuffle key; one codegen'd pass with map-side combine. avg =
+        # sum/count in double, same 6-decimal rounding (summation order
+        # is partition-dependent in BOTH formulations; round-6 absorbs
+        # it, same as the cross-engine oracle contract always has).
         means = (
-            assigned.select("cid", F.posexplode("embedding").alias("dimn", "v"))
-            .groupBy("cid", "dimn")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(
+                        F.element_at("embedding", i + 1).cast("double")
+                    ).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            # division AND rounding stay Spark-side: F.round is HALF_UP
+            # while Python's round() is half-even — the engines must
+            # agree at .5e-6 boundaries
+            .select(
+                "cid",
+                *[
+                    F.round(F.col(f"_s{i}") / F.col("_n"), 6).alias(f"_c{i}")
+                    for i in range(dim)
+                ],
+            )
             .collect()
         )
-        by_cid: dict[int, list[float]] = {}
-        for r in means:
-            by_cid.setdefault(int(r["cid"]), [0.0] * dim)[int(r["dimn"])] = float(
-                r["c"]
-            )
-        rows = [(cid, vec) for cid, vec in sorted(by_cid.items())]
+        rows = sorted(
+            (int(r["cid"]), [float(r[f"_c{i}"]) for i in range(dim)])
+            for r in means
+        )
     return rows
 
 

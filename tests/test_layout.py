@@ -186,3 +186,49 @@ def test_parse_pdf_operand_underflow_is_a_parse_error():
     pdf = _wrap_single_page(b"BT 5 Tm (x) Tj ET\n")  # Tm needs 6 operands
     with pytest.raises(layout.PdfParseError):
         layout.parse_pdf_bytes(pdf)
+
+
+# --- r6 honest boundaries (ADVICE r5 #2) -----------------------------------
+
+class _FakeDoc:
+    def __init__(self, stream: bytes):
+        self._stream = stream
+
+    def obj(self, num):
+        return {}, self._stream
+
+
+def _interpret(stream: bytes):
+    from selma_spark.spark.layout import _content_blocks
+
+    page = {"Contents": ("ref", 1), "Resources": {}}
+    return _content_blocks(_FakeDoc(stream), page, 0)
+
+
+def test_quote_operator_raises_not_silently_wrong():
+    import pytest
+
+    # baseline: Tj parses fine
+    assert _interpret(b"BT 1 0 0 1 10 700 Tm (hi) Tj ET\n")
+    # ' needs the unmodeled leading-aware line advance -> refuse loudly
+    with pytest.raises(NotImplementedError, match="quote|line"):
+        _interpret(b"BT 1 0 0 1 10 700 Tm (hi) ' ET\n")
+
+
+def test_scaled_ctm_single_use_ok_but_composition_refuses():
+    import pytest
+
+    # single scale-before-Do is within the translation-only model (the
+    # origin is exact) - synth_pdf's image pattern; undefined XObject is
+    # the expected failure HERE, proving the cm itself was accepted
+    from selma_spark.spark.layout import PdfParseError
+    with pytest.raises(PdfParseError, match="undefined XObject"):
+        _interpret(b"q 8 0 0 8 36 120 cm /Im0 Do Q\n")
+    # composing another cm under the scaled CTM would be silently wrong
+    with pytest.raises(NotImplementedError, match="composition|linear"):
+        _interpret(b"q 8 0 0 8 36 120 cm 1 0 0 1 5 5 cm Q\n")
+    # text positioned under a scaled CTM likewise refuses
+    with pytest.raises(NotImplementedError, match="scaled|rotated"):
+        _interpret(b"q 8 0 0 8 36 120 cm BT (x) Tj ET Q\n")
+    # after Q restores the identity CTM, everything parses again
+    assert _interpret(b"q 8 0 0 8 36 120 cm Q BT 1 0 0 1 1 1 Tm (x) Tj ET\n")
