@@ -44,6 +44,18 @@ LINEAGE_SCHEMA = (
     "attempt int, ts timestamp"
 )
 
+# Task-local rewrite-outcome memo bounds (sanitize-only paths; see
+# make_rewrite_fn). Web corpora repeat short boilerplate spans
+# (nav/footer/template fragments) across millions of documents within one
+# task, and a sanitize-only rewrite is a pure function of (text, frozen
+# config) — the same argument as the rewriter's _sanitize_element memo,
+# one level up. Bounds keep the worst case (adversarial all-distinct
+# spans) at ~tens of MB per task: only spans <= _DOC_MEMO_MAX_LEN chars
+# are memoized, and the dict is cleared (not evicted) at the cap so the
+# overflow path stays one branch.
+_DOC_MEMO_CAP = 8192
+_DOC_MEMO_MAX_LEN = 2048
+
 
 def resolve_config(config):
     """Accept a builtin name, a config dict, or None (sanitizer off)."""
@@ -92,6 +104,24 @@ def make_rewrite_fn(config="default", handlers_factory=None,
                 # rewriter.rs:156-227, re-expressed as a routing decision)
                 def rw(t, _rw=rw, _cap=max_text_bytes):
                     return t if len(t) > _cap else _rw(t)
+            if not handlers:
+                # sanitize-only rewrite is a pure function of the span
+                # text (handlers may carry state across calls, so they
+                # are excluded): memoize short spans per task. Repeated
+                # boilerplate spans — the dominant shape in real web
+                # corpora — collapse to one dict hit after the first
+                # occurrence (r6; bounds documented at _DOC_MEMO_CAP).
+                doc_memo = {}
+
+                def rw(t, _rw=rw, _memo=doc_memo):
+                    v = _memo.get(t)
+                    if v is None:
+                        v = _rw(t)
+                        if len(t) <= _DOC_MEMO_MAX_LEN:
+                            if len(_memo) >= _DOC_MEMO_CAP:
+                                _memo.clear()
+                            _memo[t] = v
+                    return v
         import pyarrow.compute as pc  # noqa: PLC0415
 
         if rw is None and memo_bc is None:
@@ -101,6 +131,14 @@ def make_rewrite_fn(config="default", handlers_factory=None,
             yield from batches
             return
 
+        if memo_bc is not None and rw is not None:
+            memo_get = memo_bc.value.get
+            bc_base_rw = rw
+
+            def rw(t, _get=memo_get, _rw=bc_base_rw):
+                v = _get(t)
+                return _rw(t) if v is None else v
+
         for batch in batches:
             spans_idx = batch.schema.get_field_index("spans")
             lst = batch.column(spans_idx)
@@ -109,35 +147,38 @@ def make_rewrite_fn(config="default", handlers_factory=None,
             values = lst.values
             kinds = values.field("kind")
             texts = values.field("text")
-            # C-level boolean mask (NULL kind -> None -> falsy), not one
-            # Python string per span
-            is_text = pc.equal(kinds, "text").to_pylist()
-            old_texts = texts.to_pylist()
-            if memo_bc is not None:
-                memo_get = memo_bc.value.get
-
-                def look(t, _get=memo_get, _rw=rw):
-                    v = _get(t)
-                    return _rw(t) if v is None else v
-
-                new_texts = [
-                    look(t)
-                    if (rw is not None and k and t and "<" in t)
-                    else t
-                    for k, t in zip(is_text, old_texts)
-                ]
+            # candidate selection stays in C (r6): only text spans that
+            # are non-null, non-empty and contain '<' ever cross into
+            # Python objects; everything else is carried over inside the
+            # original arrow buffers by replace_with_mask (the old path
+            # round-tripped EVERY span text through to_pylist + re-encode
+            # — ~11% of per-task wall on bench-shaped batches). NULL/''
+            # semantics match the old `k and t and "<" in t` check:
+            # match_substring('') is false, and fill_null folds the
+            # null-kind / null-text cases to false.
+            if rw is None:
+                # passthrough config carrying a broadcast memo: the memo
+                # was itself built by the identity rewrite, so texts pass
+                # through unchanged (matches the old per-row condition)
+                new_texts_arr = texts
             else:
-                new_texts = [
-                    rw(t)
-                    if (rw is not None and k and t and "<" in t)
-                    else t
-                    for k, t in zip(is_text, old_texts)
-                ]
+                mask = pc.fill_null(
+                    pc.and_(
+                        pc.and_(pc.equal(kinds, "text"), texts.is_valid()),
+                        pc.match_substring(texts, "<"),
+                    ),
+                    False,
+                )
+                rewritten = pa.array(
+                    [rw(t) for t in texts.filter(mask).to_pylist()],
+                    type=pa.string(),
+                )
+                new_texts_arr = pc.replace_with_mask(texts, mask, rewritten)
             struct_type = lst.type.value_type
             new_values = pa.StructArray.from_arrays(
                 [
                     kinds,
-                    pa.array(new_texts, type=pa.string()),
+                    new_texts_arr,
                     values.field("media_ref"),
                     values.field("offset"),
                 ],

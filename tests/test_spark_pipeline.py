@@ -492,6 +492,97 @@ def test_rewrite_paths_agree_on_random_dirty_corpus(spark):
             assert got == expected, (cfg, variant.__name__)
 
 
+def test_task_local_rewrite_memo_is_differential_and_bounded():
+    """r6: make_rewrite_fn memoizes sanitize-only rewrite outcomes for
+    short spans within a task. Drive the arrow fn directly (no session):
+    (a) repeated + distinct spans must be byte-identical to a fresh
+    Rewriter per span, (b) blowing past _DOC_MEMO_CAP (clear-on-overflow)
+    must not change outputs, (c) handler paths must NOT memoize (handlers
+    may be stateful across calls)."""
+    import pyarrow as pa
+
+    from selma_spark.spark import pipeline as P
+
+    def batch_of(texts):
+        spans = [
+            [{"kind": "text", "text": t, "media_ref": None, "offset": 0}]
+            for t in texts
+        ]
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([f"d{i}" for i in range(len(texts))]),
+                pa.array(
+                    spans,
+                    type=pa.list_(
+                        pa.struct(
+                            [
+                                ("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.int32()),
+                            ]
+                        )
+                    ),
+                ),
+            ],
+            names=["doc_id", "spans"],
+        )
+
+    def run(fn, texts):
+        out = []
+        for b in fn(iter([batch_of(texts)])):
+            for row in b.column(1).to_pylist():
+                out.append(row[0]["text"])
+        return out
+
+    # (a)+(b): repeated boilerplate + enough distinct spans to overflow
+    # the cap twice, interleaved so hits and clears both happen mid-batch
+    distinct = [f"<b onclick=x>s{i}</b>" for i in range(2 * P._DOC_MEMO_CAP + 7)]
+    texts = []
+    for i, t in enumerate(distinct):
+        texts.append(t)
+        if i % 3 == 0:
+            texts.append("<span class=nav>boilerplate</span>")
+            texts.append(distinct[0])
+    for cfg in ("default", "relaxed"):
+        got = run(P.make_rewrite_fn(cfg), texts)
+        fresh = [
+            Rewriter(sanitizer=P.resolve_config(cfg)).rewrite(t)
+            for t in texts
+        ]
+        assert got == fresh, cfg
+    # long spans are rewritten but never stored
+    long_span = "<div>" + "x" * (P._DOC_MEMO_MAX_LEN + 10) + "</div>"
+    got = run(P.make_rewrite_fn("relaxed"), [long_span, long_span])
+    assert got == [
+        Rewriter(sanitizer=S.RELAXED).rewrite(long_span)
+    ] * 2
+
+    # (c): a stateful handler must see EVERY span, repeats included
+    from selma_spark.selector import Selector
+
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def selector(self):
+            return Selector(match_element="b")
+
+        def handle_element(self, el):
+            self.n += 1
+
+    seen = []
+
+    def factory():
+        c = Counter()
+        seen.append(c)
+        return [c]
+
+    run(P.make_rewrite_fn(None, handlers_factory=factory),
+        ["<b>same</b>", "<b>same</b>", "<b>same</b>"])
+    assert sum(c.n for c in seen) == 3
+
+
 def test_iceberg_sink_seam(spark):
     """run_pipeline(sink=IcebergSink(...)) is the swap-in path for
     clusters with Iceberg jars; this container has none (CLAUDE.md), so
