@@ -32,7 +32,24 @@ from .textops import MINHASH_SALTS, STOPWORDS, _LANG_MARKERS
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Parquet source with a SESSION-scoped metadata cache (r6, guide
+    §6): a bare ``spark.read.parquet`` re-reads the footer schema and
+    rebuilds the file index on EVERY call (~0.13 s each here), which a
+    catalog-backed ``spark.table`` would cache per session. Caching the
+    lazy DataFrame (a logical plan, no data) removes that repeated
+    driver-side metadata work; the scan itself still runs per action.
+    Caveat (same as any catalog metadata cache): a path whose files
+    change mid-session would serve a stale listing — the engine's
+    sources are immutable snapshot dirs."""
+    cache = getattr(spark, "_selma_load_cache", None)
+    if cache is None:
+        cache = {}
+        spark._selma_load_cache = cache
+    key = (sf_dir, table)
+    df = cache.get(key)
+    if df is None:
+        df = cache[key] = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return df
 
 
 def spans_df(spark, sf_dir):
