@@ -423,14 +423,20 @@ def rewrite_documents_dedup(
     )
 
 
+# rewritten_text projection cache (r6): three HOF lambda conversions of
+# py4j work per call, parameterless — same reuse argument as the datagen
+# column caches (immutable expression objects).
+_REWRITTEN_TEXT_COL = None
+
+
 def rewritten_text(docs: DataFrame, config="default") -> DataFrame:
     """Rewrite + concatenate the text spans per document (offset order).
     Returns (doc_id, out_text) — the comparison surface the SQL oracle
     can mirror."""
+    global _REWRITTEN_TEXT_COL
     out = rewrite_documents(docs, config)
-    return out.select(
-        "doc_id",
-        F.array_join(
+    if _REWRITTEN_TEXT_COL is None:
+        _REWRITTEN_TEXT_COL = F.array_join(
             F.transform(
                 F.array_sort(
                     F.filter("spans", lambda s: s["kind"] == F.lit("text")),
@@ -441,8 +447,8 @@ def rewritten_text(docs: DataFrame, config="default") -> DataFrame:
                 lambda s: s["text"],
             ),
             "",
-        ).alias("out_text"),
-    )
+        ).alias("out_text")
+    return out.select("doc_id", _REWRITTEN_TEXT_COL)
 
 
 # --- byte-weighted skew rebalancing ---------------------------------------

@@ -99,14 +99,25 @@ def _salted(salt):
     return lambda s: F.md5(F.concat(F.lit(salt), s))
 
 
+# minhash/shingle projection caches (r6): these column trees are
+# parameterless (unresolved attrs + literals; HOF lambda conversion is
+# ~0.1 s of py4j per build) and were rebuilt identically on every call —
+# inside the timed region of every near-dup/minhash query. Expression
+# objects are immutable and safe to reuse across plans and sessions.
+_MINHASH_COLS: list | None = None
+_SIG_COLS: tuple | None = None
+
+
 def _minhash_df(documents: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh3) without the presentation sort."""
-    sh = _shingles(tokens_col())
-    cols = [
-        F.array_min(F.transform(sh, _salted(salt))).alias(f"mh{i}")
-        for i, salt in enumerate(MINHASH_SALTS)
-    ]
-    return documents.select("doc_id", *cols)
+    global _MINHASH_COLS
+    if _MINHASH_COLS is None:
+        sh = _shingles(tokens_col())
+        _MINHASH_COLS = [
+            F.array_min(F.transform(sh, _salted(salt))).alias(f"mh{i}")
+            for i, salt in enumerate(MINHASH_SALTS)
+        ]
+    return documents.select("doc_id", *_MINHASH_COLS)
 
 
 def _lsh_signature_frame(
@@ -124,12 +135,18 @@ def _lsh_signature_frame(
     driver GC when the result goes out of scope — CacheManager-registered
     persists live for the whole session. (At petascale you'd materialize
     signatures to a table once instead — same idea, durable form.)"""
-    sh = F.array_distinct(_shingles(tokens_col()))
-    base = documents.select("doc_id", sh.alias("sh"))
-    mh_cols = [
-        F.array_min(F.transform("sh", _salted(salt))).alias(f"mh{i}")
-        for i, salt in enumerate(MINHASH_SALTS)
-    ]
+    global _SIG_COLS
+    if _SIG_COLS is None:
+        sh = F.array_distinct(_shingles(tokens_col()))
+        _SIG_COLS = (
+            sh.alias("sh"),
+            [
+                F.array_min(F.transform("sh", _salted(salt))).alias(f"mh{i}")
+                for i, salt in enumerate(MINHASH_SALTS)
+            ],
+        )
+    sh_col, mh_cols = _SIG_COLS
+    base = documents.select("doc_id", sh_col)
     keep = (["sh"] if with_shingles else []) + mh_cols
     return base.select("doc_id", *keep).localCheckpoint()
 
