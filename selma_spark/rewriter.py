@@ -741,8 +741,17 @@ def _sanitize_pass(html, sanitizer, san_memo=None) -> str:
         ti += 1
         kind = tok.kind
         if kind == TEXT:
+            # keep() inlined on the two hottest branches (TEXT and the
+            # attr-less kept start tag, ~80% of keep calls — r6): the
+            # closure call alone is ~70ns against a ~1.2us/token budget
             if suppress == 0:
-                keep(tok)
+                if tok.start == run_end:
+                    run_end = tok.end
+                else:
+                    if run_start >= 0:
+                        emit(html[run_start:run_end])
+                    run_start = tok.start
+                    run_end = tok.end
             continue
 
         if kind == START_TAG:
@@ -760,7 +769,13 @@ def _sanitize_pass(html, sanitizer, san_memo=None) -> str:
                     and name != "iframe":
                 # kept, untouched: raw passthrough (the common case)
                 if suppress == 0:
-                    keep(tok)
+                    if tok.start == run_end:
+                        run_end = tok.end
+                    else:
+                        if run_start >= 0:
+                            emit(html[run_start:run_end])
+                        run_start = tok.start
+                        run_end = tok.end
                 if not no_end:
                     open_counts[name] = open_counts.get(name, 0) + 1
                     stack.append([name, False, True, None])
@@ -1067,7 +1082,16 @@ def _run_pass(html, sanitizer, handlers) -> str:
                                 emit(p)
                         continue
             if suppress == 0:
-                keep(t_start, t_end)
+                # keep() inlined on the two hottest branches (TEXT and
+                # the inert fast-skip start tag — r6, same as
+                # _sanitize_pass): ~70ns closure call per token saved
+                if t_start == run_end:
+                    run_end = t_end
+                else:
+                    if run_start >= 0:
+                        emit(html[run_start:run_end])
+                    run_start = t_start
+                    run_end = t_end
             continue
 
         ti += 1
@@ -1078,7 +1102,13 @@ def _run_pass(html, sanitizer, handlers) -> str:
                 name = tok.name
                 void = name in VOID_TAGS
                 if suppress == 0:
-                    keep(tok.start, tok.end)
+                    if tok.start == run_end:
+                        run_end = tok.end
+                    else:
+                        if run_start >= 0:
+                            emit(html[run_start:run_end])
+                        run_start = tok.start
+                        run_end = tok.end
                 if not (void or tok.self_closing):
                     open_counts[name] = open_counts.get(name, 0) + 1
                     stack.append(_InertNode(tok))

@@ -247,7 +247,9 @@ def tokenize(html: str, light: bool = False, need_spans: bool = False,
             ename, raw_name, blob, slash = m.group(2, 3, 4, 5)
             i_new = m.end()
             if ename is not None:
-                append(Token(END_TAG, html, t_end, i_new, name=ename.lower()))
+                # positional args throughout the lexer: keyword-arg
+                # Token construction measured ~200ns/call slower (r6)
+                append(Token(END_TAG, html, t_end, i_new, ename.lower()))
                 i = i_new
                 continue
             if blob and not light:
@@ -256,21 +258,20 @@ def tokenize(html: str, light: bool = False, need_spans: bool = False,
                 # same contract as _parse_start_tag's batch branch
                 tok = Token(
                     START_TAG, html, t_end, i_new,
-                    name=raw_name.lower(), attrs=None,
-                    self_closing=slash == "/",
+                    raw_name.lower(), None, slash == "/",
                 )
                 tok._ablob = (m.end(3), m.end(4))
             else:
                 tok = Token(
-                    START_TAG, html, t_end, i_new, name=raw_name.lower(),
-                    attrs=[], self_closing=slash == "/",
+                    START_TAG, html, t_end, i_new, raw_name.lower(),
+                    [], slash == "/",
                 )
             append(tok)
             i = i_new
             mode_tag = tok.name
             if mode_tag == "plaintext":
                 if i < n:
-                    append(Token(TEXT, html, i, n, text_type=TEXT_TYPE_PLAIN))
+                    append(Token(TEXT, html, i, n, None, None, False, TEXT_TYPE_PLAIN))
                 break
             if not tok.self_closing and (
                 mode_tag == "script"
@@ -302,7 +303,7 @@ def tokenize(html: str, light: bool = False, need_spans: bool = False,
             mode_tag = tok.name
             if mode_tag == "plaintext":
                 if i < n:
-                    append(Token(TEXT, html, i, n, text_type=TEXT_TYPE_PLAIN))
+                    append(Token(TEXT, html, i, n, None, None, False, TEXT_TYPE_PLAIN))
                 break
             if not tok.self_closing and (
                 mode_tag == "script"
@@ -400,8 +401,8 @@ def _parse_start_tag(html: str, lt: int, light: bool = False,
                 return _parse_start_tag_general(html, lt)
             end = m.end()
             tok = Token(
-                START_TAG, html, lt, end, name=raw_name.lower(),
-                attrs=None, self_closing=slash == "/",
+                START_TAG, html, lt, end, raw_name.lower(),
+                None, slash == "/",
             )
             tok._ablob = (blob_start, blob_end)
             return tok, end
@@ -442,8 +443,8 @@ def _parse_start_tag(html: str, lt: int, light: bool = False,
                 return _parse_start_tag_general(html, lt)
         end = m.end()
         return (
-            Token(START_TAG, html, lt, end, name=raw_name.lower(), attrs=attrs,
-                  self_closing=slash == "/"),
+            Token(START_TAG, html, lt, end, raw_name.lower(), attrs,
+                  slash == "/"),
             end,
         )
     return _parse_start_tag_general(html, lt)
@@ -520,8 +521,7 @@ def _parse_start_tag_general(html: str, lt: int):
                     Attr(attr_name, raw_attr_name, "", False, name_span, None)
                 )
     return (
-        Token(START_TAG, html, lt, i, name=name, attrs=attrs,
-              self_closing=self_closing),
+        Token(START_TAG, html, lt, i, name, attrs, self_closing),
         i,
     )
 
@@ -537,7 +537,7 @@ def _parse_end_tag(html: str, lt: int):
     if m is None:
         return None, len(html)
     return (
-        Token(END_TAG, html, lt, m.end(), name=m.group(1).lower()),
+        Token(END_TAG, html, lt, m.end(), m.group(1).lower()),
         m.end(),
     )
 
@@ -555,11 +555,11 @@ def _consume_rawtext(html: str, hlow: str, i: int, tag: str, append) -> int:
         p = hlow.find(needle, pos)
         if p < 0:
             if i < n:
-                append(Token(TEXT, html, i, n, text_type=ttype))
+                append(Token(TEXT, html, i, n, None, None, False, ttype))
             return n
         after = p + len(needle)
         if after >= n or html[after] in _TAG_NAME_END:
             if p > i:
-                append(Token(TEXT, html, i, p, text_type=ttype))
+                append(Token(TEXT, html, i, p, None, None, False, ttype))
             return p
         pos = after
