@@ -224,6 +224,39 @@ def _argmax_assign(scored: DataFrame, with_cosine: bool = False) -> DataFrame:
 KMEANS_ROUNDS = 5
 
 
+# parameterless column-tree caches (pass-4 pattern: pure functions of
+# the cache key, immutable JVM expression objects, reusable across
+# plans/sessions in one process). The norm tree costs ~23ms of py4j
+# per build; the per-dim mean-agg trees ~0.4s — both were rebuilt per
+# Lloyd round before pass 7.
+_NORM_EMB_COL = None
+_MEANS_COLS: dict = {}
+
+
+def _norm_embedding_col():
+    global _NORM_EMB_COL
+    if _NORM_EMB_COL is None:
+        _NORM_EMB_COL = _norm("embedding")
+    return _NORM_EMB_COL
+
+
+def _means_cols(dim: int):
+    cols = _MEANS_COLS.get(dim)
+    if cols is None:
+        aggs = tuple(
+            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(
+                f"_s{i}"
+            )
+            for i in range(dim)
+        )
+        sels = tuple(
+            F.round(F.col(f"_s{i}") / F.col("_n"), 6).alias(f"_c{i}")
+            for i in range(dim)
+        )
+        cols = _MEANS_COLS[dim] = (F.count("*").alias("_n"), aggs, sels)
+    return cols
+
+
 def _collect_centroids(embeddings: DataFrame, n_centroids: int):
     """Seed centroid table (vec_id < n_centroids) as driver-resident
     (cid, [double]) rows — KB-sized, the same driver state kmeans_refine
@@ -238,33 +271,57 @@ def _collect_centroids(embeddings: DataFrame, n_centroids: int):
     )
 
 
-def _lit_best_struct(cents_rows, ne_col):
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: ``repr`` is the shortest decimal that
+    round-trips to the same IEEE double, and Spark's parser converts
+    decimal-with-``D`` via Double.parseDouble (correctly rounded) — the
+    parsed literal is bit-identical to ``F.lit(v)``."""
+    import math  # noqa: PLC0415
+
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite centroid component: {v!r}")
+    return repr(v) + "D"
+
+
+def _lit_best_struct(cents_rows, ne_name="_ne"):
     """array_max over per-centroid (round(cosine, 9), -cid) structs with
     the centroid table inlined as LITERALS (r6): the centroid norms are
     precomputed on the driver (same left-fold + sqrt as _norm — IEEE ops
     in the same order, so bit-identical) and the row's embedding norm is
-    hoisted into ``ne_col``, computed ONCE instead of once per centroid.
-    Same comparator as _argmax_assign's max(struct(c, nc)): highest
-    cosine, ties -> smallest cid. Replaces the crossJoin + groupBy argmax
-    with a single narrow projection — no exchange, no join."""
+    hoisted into the ``ne_name`` column, computed ONCE instead of once
+    per centroid. Same comparator as _argmax_assign's max(struct(c,
+    nc)): highest cosine, ties -> smallest cid. Replaces the crossJoin +
+    groupBy argmax with a single narrow projection — no exchange, no
+    join.
+
+    Built as ONE parsed SQL string (r6 pass 7): composing the same tree
+    from pyspark Column calls costs ~60ms of py4j round-trips PER
+    CENTROID (~1s per call, ~6s per kmeans_refined_assign — the
+    dominant cost of the whole query at small scale), while F.expr
+    parses the identical expression in <10ms. The parsed operators
+    (zip_with/aggregate fold with per-element CAST AS DOUBLE, round,
+    named_struct) are exactly the Column-built tree, so values are
+    bit-identical — differential-pinned by
+    test_lit_best_struct_expr_matches_column_tree."""
     import math  # noqa: PLC0415
 
-    structs = []
+    parts = []
     for cid, vec in cents_rows:
         acc = 0.0
         for v in vec:
             acc += v * v
         cn = math.sqrt(acc)
-        clit = F.array(*[F.lit(v) for v in vec])
-        structs.append(
-            F.struct(
-                F.round(
-                    _dot(F.col("embedding"), clit) / (ne_col * F.lit(cn)), 9
-                ).alias("c"),
-                F.lit(-cid).alias("nc"),
-            )
+        arr = "array(" + ",".join(_dlit(v) for v in vec) + ")"
+        dot = (
+            f"aggregate(zip_with(embedding, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, v) -> acc + v)"
         )
-    return F.array_max(F.array(*structs))
+        parts.append(
+            f"named_struct('c', round({dot} / ({ne_name} * {_dlit(cn)}), 9),"
+            f" 'nc', {-cid})"
+        )
+    return F.expr("array_max(array(" + ",".join(parts) + "))")
 
 
 def _lit_assign(
@@ -276,8 +333,8 @@ def _lit_assign(
     """(vec_id, cid[, cosine][, embedding]) against a driver-resident
     centroid table — one narrow projection (argmax inline per row), zero
     shuffles. Values identical to _argmax_assign(_assign_scored(...))."""
-    base = embeddings.withColumn("_ne", _norm("embedding")).withColumn(
-        "_m", _lit_best_struct(cents_rows, F.col("_ne"))
+    base = embeddings.withColumn("_ne", _norm_embedding_col()).withColumn(
+        "_m", _lit_best_struct(cents_rows)
     )
     cols = ["vec_id", (-F.col("_m.nc")).cast("bigint").alias("cid")]
     if with_cosine:
@@ -332,27 +389,16 @@ def kmeans_refine(
         # sum/count in double, same 6-decimal rounding (summation order
         # is partition-dependent in BOTH formulations; round-6 absorbs
         # it, same as the cross-engine oracle contract always has).
+        # division AND rounding stay Spark-side: F.round is HALF_UP
+        # while Python's round() is half-even — the engines must
+        # agree at .5e-6 boundaries. Column trees cached per dim
+        # (pass 7): they are pure functions of dim, and rebuilding
+        # them cost ~0.4s of py4j per round.
+        count_col, agg_cols, sel_cols = _means_cols(dim)
         means = (
             assigned.groupBy("cid")
-            .agg(
-                F.count("*").alias("_n"),
-                *[
-                    F.sum(
-                        F.element_at("embedding", i + 1).cast("double")
-                    ).alias(f"_s{i}")
-                    for i in range(dim)
-                ],
-            )
-            # division AND rounding stay Spark-side: F.round is HALF_UP
-            # while Python's round() is half-even — the engines must
-            # agree at .5e-6 boundaries
-            .select(
-                "cid",
-                *[
-                    F.round(F.col(f"_s{i}") / F.col("_n"), 6).alias(f"_c{i}")
-                    for i in range(dim)
-                ],
-            )
+            .agg(count_col, *agg_cols)
+            .select("cid", *sel_cols)
             .collect()
         )
         rows = sorted(

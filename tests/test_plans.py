@@ -198,6 +198,58 @@ def test_kmeans_refined_assign_is_narrow_inline_argmax(spark):
     assert "Exchange rangepartitioning" in plan, plan
 
 
+def test_lit_best_struct_expr_matches_column_tree(spark):
+    """r6 pass 7: _lit_best_struct is built as ONE parsed SQL string
+    (~60ms of py4j per centroid saved — ~6s per kmeans_refined_assign
+    call). The parsed tree must stay bit-identical to the Column-built
+    tree it replaced: same zip_with/aggregate fold with per-element
+    CAST AS DOUBLE, same round(…, 9), same (c, nc) struct comparator.
+    This differential pins that — any drift in the SQL string (operator
+    order, literal formatting, cast placement) fails exact equality."""
+    import math
+
+    emb = q.load(spark, SF_DIR, "embeddings")
+    rows = simsearch._collect_centroids(emb, 16)
+
+    def column_tree(cents_rows, ne_col):
+        structs = []
+        for cid, vec in cents_rows:
+            acc = 0.0
+            for v in vec:
+                acc += v * v
+            cn = math.sqrt(acc)
+            clit = F.array(*[F.lit(v) for v in vec])
+            structs.append(
+                F.struct(
+                    F.round(
+                        simsearch._dot(F.col("embedding"), clit)
+                        / (ne_col * F.lit(cn)),
+                        9,
+                    ).alias("c"),
+                    F.lit(-cid).alias("nc"),
+                )
+            )
+        return F.array_max(F.array(*structs))
+
+    base = emb.withColumn("_ne", simsearch._norm("embedding"))
+    old = (
+        base.withColumn("_m", column_tree(rows, F.col("_ne")))
+        .select("vec_id", "_m")
+        .orderBy("vec_id")
+        .collect()
+    )
+    new = (
+        base.withColumn("_m", simsearch._lit_best_struct(rows))
+        .select("vec_id", "_m")
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert old == new
+    # non-finite components must fail loudly, not emit invalid SQL
+    with pytest.raises(ValueError):
+        simsearch._dlit(float("nan"))
+
+
 def test_decoded_resize_is_narrow_before_the_udf(spark):
     # explode + image-class filter are JVM-side and the pandas UDF runs
     # directly over the scan without any shuffle — the ONLY Exchange in
