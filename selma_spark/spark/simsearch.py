@@ -47,10 +47,29 @@ def topk_cosine(
 ) -> DataFrame:
     """Brute-force cosine top-k against a constant query vector. The
     query is a literal array (constant-folded by Catalyst; at cluster
-    scale this is a broadcast-free narrow scan + TakeOrdered)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
-    sim = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))
-    df = embeddings.select("vec_id", F.round(sim, 4).alias("cosine"))
+    scale this is a broadcast-free narrow scan + TakeOrdered).
+
+    Built as ONE parsed SQL string (r6 pass 7, same as
+    _lit_best_struct): the Column-built literal array + three HOF
+    lambda trees cost ~0.1s of py4j per call — a third of this bench
+    row's wall. The parsed operators are the identical tree
+    (differential-pinned by test_topk_cosine_expr_matches_column_tree)."""
+    arr = "array(" + ",".join(_dlit(float(x)) for x in query) + ")"
+    dot = (
+        f"aggregate(zip_with(embedding, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+    ne = (
+        "sqrt(aggregate(embedding, 0.0D, "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nq = (
+        f"sqrt(aggregate({arr}, 0.0D, "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    sim = F.expr(f"round({dot} / ({ne} * {nq}), 4)")
+    df = embeddings.select("vec_id", sim.alias("cosine"))
     if exclude_vec_id is not None:
         df = df.where(F.col("vec_id") != exclude_vec_id)
     return df.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

@@ -250,6 +250,31 @@ def test_lit_best_struct_expr_matches_column_tree(spark):
         simsearch._dlit(float("nan"))
 
 
+def test_topk_cosine_expr_matches_column_tree(spark):
+    """r6 pass 7 (same as the kmeans pin above): topk_cosine's query
+    literal + dot/norm trees are one parsed SQL string; exact equality
+    against the Column-built tree it replaced, over every vector."""
+    emb = q.load(spark, SF_DIR, "embeddings")
+    qv = simsearch.query_vector(spark, emb, 0)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    old_sim = simsearch._dot(F.col("embedding"), qlit) / (
+        simsearch._norm(F.col("embedding")) * simsearch._norm(qlit)
+    )
+    old = (
+        emb.select("vec_id", F.round(old_sim, 4).alias("cosine"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    n = emb.count()
+    new = (
+        simsearch.topk_cosine(emb, qv, k=n)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(new) == n
+    assert old == new
+
+
 def test_decoded_resize_is_narrow_before_the_udf(spark):
     # explode + image-class filter are JVM-side and the pandas UDF runs
     # directly over the scan without any shuffle — the ONLY Exchange in
